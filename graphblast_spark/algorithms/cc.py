@@ -1,0 +1,98 @@
+"""Connected components — FastSV-style min-label hooking + pointer jumping.
+
+Reference: graphblas/algorithm/cc.hpp:17-136 (FastSV, Zhang/Azad/Hu
+SIAM PP20): per round (1) min-neighbor-grandparent hooking, (2)
+shortcutting, (3) pointer jumping, converging when parents stabilize.
+Labels converge to the **min vertex id of the component** (parent init
+is fillAscending, cc.hpp:44), which is exactly what we return —
+deterministic, unlike the reference's GPU last-write-wins scatter
+(SURVEY §7.3.3: min-resolution reaches the same fixpoint).
+
+Spark formulation per superstep (undirected: edges are used in both
+orientations, the --directed 2 semantics of run_cc.sh:16):
+
+1. hook:   f'(u) = min(f(u), min_{v∈N(u)} f(v))     — join + min-agg
+2. jump:   f''(u) = f'(f'(u))                        — self-join gather
+3. converged when Σ[f'' ≠ f] == 0                    — the scalar action
+
+Both steps shrink labels monotonically, so the fixpoint is the
+component minimum; hooking alone is O(diameter) rounds, jumping makes
+long chains collapse in O(log n) — the property that matters on a
+100 TB web graph whose link chains can be thousands long.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
+from graphblast_spark.matrix import Graph
+from graphblast_spark.operators.assign import extract_gather
+from graphblast_spark.runtime.superstep import SuperstepRunner
+
+
+def connected_components(
+    g: Graph,
+    desc: Descriptor = DEFAULT_DESC,
+    runner: SuperstepRunner | None = None,
+    pointer_jump: bool = True,
+) -> DataFrame:
+    """Returns (id long, component long) with component = min id of the
+    connected component (treating edges as undirected)."""
+    spark = g.edges.sparkSession
+
+    # Undirected view: both orientations; duplicates are harmless under
+    # the min aggregate, so skip the dedup shuffle (cf. util.hpp:263-329
+    # which dedups at build — our build already deduped (src,dst)).
+    e = g.edges.select("src", "dst")
+    e_sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    e_sym.count()
+
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    def init():
+        return {"parent": g.vertices.select("id", F.col("id").alias("val"))}
+
+    state, start_iter, _ = runner.resume_or_init(init)
+    parent = state["parent"]
+
+    for it in range(start_iter, desc.max_niter):
+        t0 = time.time()
+        # (1) hooking: min neighbor parent (cc.hpp:78 MinimumSelectSecond vxm)
+        nbr_min = (
+            e_sym.join(parent, on=e_sym["dst"] == parent["id"], how="inner")
+            .groupBy(e_sym["src"].alias("id"))
+            .agg(F.min(parent["val"]).alias("nmin"))
+        )
+        hooked = (
+            parent.join(nbr_min, on="id", how="left")
+            .select("id", F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val"))).alias("val"))
+        )
+        # (2) shortcut/jump: f[u] = f[f[u]] (cc.hpp:98-99 extractGather)
+        new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
+        new_parent = new_parent.localCheckpoint(eager=True)
+
+        # (3) convergence: any parent changed? (cc.hpp:102-104
+        # MinimumNotEqualTo reduce — here a changed-row count)
+        changed = (
+            new_parent.alias("n")
+            .join(parent.alias("o"), on="id")
+            .filter(F.col("n.val") != F.col("o.val"))
+            .count()
+        )
+        ms = (time.time() - t0) * 1000.0
+        state = runner.commit(
+            it, {"parent": new_parent}, scalars={"changed": changed}, metrics={"ms": ms}
+        )
+        parent = state["parent"]
+        if changed == 0:
+            break
+
+    e_sym.unpersist()
+    return parent.select("id", F.col("val").alias("component"))

@@ -1,0 +1,125 @@
+"""Label propagation — min-label and majority variants.
+
+The reference has no LP (SURVEY §2.9) — the north rule requires it.
+Two deterministic variants:
+
+- ``label_propagation_min``: synchronous min-label diffusion over the
+  undirected graph — the reference's CC-convergent analog (composition
+  of its vxm-with-MinimumSelectSecond pattern, cc.hpp:78): converges to
+  the same partition as connected components; kept as the
+  SQL-oracle-checkable LP.
+
+- ``label_propagation_majority``: synchronous majority vote with the
+  deterministic tiebreak (highest neighbor-label count, ties → smallest
+  label; vertices with no neighbors keep their label). Synchronous
+  majority LP can 2-cycle on bipartite structures, so the contract is a
+  FIXED number of supersteps — deterministic and oracle-comparable at
+  any iteration count.
+
+Scale notes: the per-superstep shape is groupBy(dst, label) count →
+per-dst argmax. The two-level aggregate gives map-side partial combine
+on (dst, label) — the hub-vertex (power-law dst) skew is spread across
+the label dimension first, the classic salting-by-natural-subkey.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
+from graphblast_spark.matrix import Graph
+from graphblast_spark.runtime.superstep import SuperstepRunner
+
+
+def _sym(g: Graph) -> DataFrame:
+    # Deduped symmetrized view: when both (a,b) and (b,a) existed in the
+    # directed input, the mirrored union would double them — harmless
+    # under min (CC) but it corrupts majority VOTE COUNTS, so dedup here.
+    e = g.edges.select("src", "dst")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def label_propagation_min(
+    g: Graph,
+    desc: Descriptor = DEFAULT_DESC,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Min-label fixpoint: label'(u) = min(label(u), min_{v∈N(u)} label(v)).
+    Returns (id, label) = CC partition with component-min labels."""
+    spark = g.edges.sparkSession
+    e_sym = _sym(g).persist()
+    e_sym.count()
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    state, start_iter, _ = runner.resume_or_init(
+        lambda: {"labels": g.vertices.select("id", F.col("id").alias("val"))}
+    )
+    labels = state["labels"]
+    for it in range(start_iter, desc.max_niter):
+        t0 = time.time()
+        nbr = (
+            e_sym.join(labels, on=e_sym["dst"] == labels["id"])
+            .groupBy(e_sym["src"].alias("id"))
+            .agg(F.min(labels["val"]).alias("nmin"))
+        )
+        new_labels = labels.join(nbr, on="id", how="left").select(
+            "id", F.least(F.col("val"), F.coalesce("nmin", "val")).alias("val")
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), on="id")
+            .filter(F.col("n.val") != F.col("o.val")).count()
+        )
+        state = runner.commit(
+            it, {"labels": new_labels}, scalars={"changed": changed},
+            metrics={"ms": (time.time() - t0) * 1000.0},
+        )
+        labels = state["labels"]
+        if changed == 0:
+            break
+    e_sym.unpersist()
+    return labels.select("id", F.col("val").alias("label"))
+
+
+def label_propagation_majority(
+    g: Graph,
+    iters: int = 5,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Majority LP for exactly ``iters`` synchronous supersteps.
+    Returns (id, label)."""
+    spark = g.edges.sparkSession
+    e_sym = _sym(g).persist()
+    e_sym.count()
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    state, start_iter, _ = runner.resume_or_init(
+        lambda: {"labels": g.vertices.select("id", F.col("id").alias("val"))}
+    )
+    labels = state["labels"]
+    win = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for it in range(start_iter, iters):
+        t0 = time.time()
+        votes = (
+            e_sym.join(labels, on=e_sym["dst"] == labels["id"])
+            .groupBy(e_sym["src"].alias("id"), labels["val"].alias("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("lbl").alias("new"))
+        )
+        new_labels = labels.join(winner, on="id", how="left").select(
+            "id", F.coalesce("new", "val").alias("val")
+        ).localCheckpoint(eager=True)
+        state = runner.commit(it, {"labels": new_labels}, metrics={"ms": (time.time() - t0) * 1000.0})
+        labels = state["labels"]
+    e_sym.unpersist()
+    return labels.select("id", F.col("val").alias("label"))

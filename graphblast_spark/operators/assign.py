@@ -1,0 +1,67 @@
+"""assign / scatter / gather — indexed projection & update.
+
+Reference: operations.hpp:417-530 (assign family), 748-814
+(scatter/extractGather) → kernels/scatter.hpp, kernels/gather.hpp.
+These are the FastSV-CC workhorses (cc.hpp:77-99).
+
+Point-writes don't exist on immutable DataFrames; every variant is a
+join + coalesce/when projection. Where the reference's GPU scatter is
+*nondeterministic last-write-wins* (kernels/scatter.hpp:23-37), we
+resolve collisions with a deterministic ``min`` — FastSV's fixpoint is
+invariant to the choice (SURVEY §7.3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_masked_constant(
+    w: DataFrame,
+    mask: DataFrame,
+    c,
+    mask_complement: bool = False,
+) -> DataFrame:
+    """w[all]⟨mask⟩ = c — the frontier-filter primitive (reference
+    operations.hpp:502-530; BFS depth-marking bfs.hpp:65-66).
+
+    Rows of ``w`` whose id is in ``mask`` (or NOT in it, when
+    complemented) get value ``c``; others keep their value.
+    """
+    m = mask.select("id").withColumn("__hit", F.lit(True))
+    joined = w.alias("w").join(m, on="id", how="left")
+    hit = F.col("__hit").isNotNull()
+    cond = ~hit if mask_complement else hit
+    return joined.select("id", F.when(cond, F.lit(c)).otherwise(F.col("w.val")).alias("val"))
+
+
+def assign_scatter(w: DataFrame, updates: DataFrame) -> DataFrame:
+    """w[updates.target] = updates.val — vector-of-indices scatter
+    (reference operations.hpp:769-790; FastSV hooking f[f[u]]=mngf[u],
+    cc.hpp:83-84). ``updates`` has columns (target, val). Collisions
+    resolve to min(val) for determinism."""
+    up = updates.groupBy(F.col("target").alias("id")).agg(F.min("val").alias("__new"))
+    return (
+        w.join(up, on="id", how="left")
+        .select("id", F.coalesce(F.col("__new"), F.col("val")).alias("val"))
+    )
+
+
+def extract_gather(indices: DataFrame, u: DataFrame) -> DataFrame:
+    """w[i] = u[indices[i]] — gather (reference operations.hpp:796-814;
+    FastSV grandparent gf[u]=f[f[u]], cc.hpp:98-99). ``indices`` is a
+    vector whose val column holds ids to look up in ``u``; this is the
+    pointer-jumping self-join."""
+    idx, uu = indices.alias("idx"), u.alias("u")
+    return idx.join(uu, on=F.col("idx.val") == F.col("u.id"), how="inner").select(
+        F.col("idx.id").alias("id"), F.col("u.val").alias("val")
+    )
+
+
+def scatter_constant(u: DataFrame, c) -> DataFrame:
+    """w[u[i]] = c — constant scatter over an index vector (reference
+    operations.hpp:748-761; GC used-colors bitmap gc.hpp:364-366)."""
+    return u.select(F.col("val").cast("long").alias("id")).distinct().withColumn(
+        "val", F.lit(c)
+    )

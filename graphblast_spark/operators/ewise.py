@@ -1,0 +1,95 @@
+"""Element-wise ops — intersection/union joins and projections.
+
+GraphBLAS semantics (reference operations.hpp:129-158, 269-299):
+``eWiseMult`` operates on the *intersection* of nonzero structures
+(inner join on id) using the semiring's ⊗; ``eWiseAdd`` on the
+*union* (full outer join, identity fill) using the semiring's ⊕.
+Scalar-broadcast variants are plain projections.
+
+These are pure Column-expression pipelines — whole-stage codegen
+fuses chains of them (the reference fuses apply+vxm by hand,
+operations.hpp:835-865; Catalyst fuses projections automatically).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphblast_spark.semiring import Semiring, semiring as _resolve
+
+
+def _mask_join(out: DataFrame, mask: DataFrame | None, complement: bool) -> DataFrame:
+    if mask is None:
+        return out
+    how = "left_anti" if complement else "left_semi"
+    return out.join(mask.select("id"), on="id", how=how)
+
+
+def ewise_mult(
+    u: DataFrame,
+    v: DataFrame,
+    sr: Semiring | str = "PlusMultiplies",
+    mask: DataFrame | None = None,
+    mask_complement: bool = False,
+) -> DataFrame:
+    """w = u ⊗ v on the intersection of structures — reference
+    operations.hpp:135-158 → ewisemult.hpp. Inner join on id."""
+    sr = _resolve(sr)
+    uu, vv = u.alias("u"), v.alias("v")
+    out = uu.join(vv, on=F.col("u.id") == F.col("v.id"), how="inner").select(
+        F.col("u.id").alias("id"),
+        sr.mul(F.col("u.val"), F.col("v.val")).alias("val"),
+    )
+    return _mask_join(out, mask, mask_complement)
+
+
+def ewise_add(
+    u: DataFrame,
+    v: DataFrame,
+    sr: Semiring | str = "PlusMultiplies",
+    mask: DataFrame | None = None,
+    mask_complement: bool = False,
+) -> DataFrame:
+    """w = u ⊕ v on the union of structures (missing side = ⊕-identity)
+    — reference operations.hpp:275-299 → ewiseadd.hpp. Full outer join."""
+    sr = _resolve(sr)
+    ident = F.lit(sr.identity)
+    uu, vv = u.alias("u"), v.alias("v")
+    out = uu.join(vv, on=F.col("u.id") == F.col("v.id"), how="full_outer").select(
+        F.coalesce(F.col("u.id"), F.col("v.id")).alias("id"),
+        sr.add(
+            F.coalesce(F.col("u.val"), ident), F.coalesce(F.col("v.val"), ident)
+        ).alias("val"),
+    )
+    return _mask_join(out, mask, mask_complement)
+
+
+def ewise_mult_scalar(u: DataFrame, c, sr: Semiring | str = "PlusMultiplies") -> DataFrame:
+    """w = u ⊗ c — reference operations.hpp:204-228 (matrix×scalar is
+    Graph.scale_vals). Pure projection."""
+    sr = _resolve(sr)
+    return u.select("id", sr.mul(F.col("val"), F.lit(c)).alias("val"))
+
+
+def ewise_add_scalar(u: DataFrame, c, sr: Semiring | str = "PlusMultiplies") -> DataFrame:
+    """w = u ⊕ c — the PR teleport add (reference operations.hpp:321-353,
+    pr.hpp:71-72). Pure projection."""
+    sr = _resolve(sr)
+    return u.select("id", sr.add(F.col("val"), F.lit(c)).alias("val"))
+
+
+def apply_unary(
+    u: DataFrame,
+    fn: Callable[[Column], Column],
+    mask: DataFrame | None = None,
+    mask_complement: bool = False,
+) -> DataFrame:
+    """w⟨mask⟩ = op(u) — reference operations.hpp:554-610 (apply).
+    ``fn`` is a Column→Column expression; e.g. the reference's
+    ``set_random`` (algorithm/common.hpp:8-42) becomes a seeded
+    deterministic hash: ``lambda c: F.xxhash64(c, F.lit(seed))``."""
+    out = u.select("id", fn(F.col("val")).alias("val"))
+    return _mask_join(out, mask, mask_complement)

@@ -1,0 +1,125 @@
+"""vxm / mxv — the SpMV/SpMSpV family, i.e. the engine's join.
+
+Reference: graphblas/operations.hpp:51-127 (frontend) →
+backend/cuda/operations.hpp:80-327 (direction decision) →
+spmv.hpp (pull kernel) / spmspv.hpp + spmspv_inner.hpp (push kernel).
+
+Semantics computed here::
+
+    w(j) = ⊕_{i : A(i,j) nonzero, u(i) present}  u(i) ⊗ A(i,j)     (vxm)
+    w(i) = ⊕_{j : A(i,j) nonzero, u(j) present}  A(i,j) ⊗ u(j)     (mxv)
+
+which in DataFrame land is exactly
+
+    edges ⋈ u ON edges.<in-key> == u.id
+          → select(<out-key>, mul(u.val, edges.val))
+          → groupBy(<out-key>).agg(add_agg)
+
+**Direction optimization** (reference's Ligra-style push/pull,
+backend/cuda/operations.hpp:131-199 + vector.hpp:291-323): when the
+frontier is sparse (count/n below ``desc.switchpoint``) we hint
+``F.broadcast(u)`` — a broadcast hash join, the SpMSpV "push" gather.
+When dense, a plain shuffle join — the SpMV "pull". AQE's runtime
+broadcast conversion is the safety net; the explicit rule keeps the
+plan stable across supersteps. The caller passes ``u_nvals`` when it
+already knows the frontier size (every algorithm loop does), so no
+extra count job is spawned.
+
+**Masking** (reference types.hpp:44-78 GrB_MASK/GrB_SCMP): the mask is
+applied to the *output* keys as a semi-join (or anti-join when
+complemented) — and critically it is applied *before* the aggregation
+where possible, which Catalyst pushes below the shuffle.
+
+**Early exit** (reference kernels/spmv.hpp:33-51): for boolean
+semirings (LogicalOrAnd) the aggregation degenerates to existence —
+``select(out).distinct()`` — matching the reference's sort-elision
+path (spmspv_inner.hpp:291-299).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor, MxvMode
+from graphblast_spark.matrix import Graph
+from graphblast_spark.semiring import Semiring, semiring as _resolve
+
+
+def _apply_mask(out: DataFrame, mask: DataFrame | None, complement: bool) -> DataFrame:
+    if mask is None:
+        return out
+    m = mask.select("id")
+    how = "left_anti" if complement else "left_semi"
+    return out.join(m, on="id", how=how)
+
+
+def _vecmat(
+    u: DataFrame,
+    g: Graph,
+    sr: Semiring | str,
+    in_key: str,
+    out_key: str,
+    mask: DataFrame | None,
+    desc: Descriptor,
+    u_nvals: int | None,
+    vec_first: bool,
+) -> DataFrame:
+    sr = _resolve(sr)
+    edges = g.edges
+    if desc.transpose_a:
+        in_key, out_key = out_key, in_key
+
+    # Direction decision (reference backend/cuda/operations.hpp:131-140).
+    push = False
+    if desc.mxv_mode == MxvMode.PUSHONLY:
+        push = True
+    elif desc.mxv_mode == MxvMode.PUSHPULL:
+        if u_nvals is not None and g.n > 0:
+            push = (u_nvals / g.n) <= desc.switchpoint
+    frontier = F.broadcast(u) if push else u
+
+    joined = edges.join(frontier, on=edges[in_key] == frontier["id"], how="inner")
+
+    out_col = edges[out_key].alias("id")
+    if desc.structure_only and sr.name == "LogicalOrAnd":
+        # struconly + early-exit path: existence only, no values
+        # (reference reduce.hpp:71-74, kernels/spmv.hpp:33-51).
+        out = joined.select(out_col).distinct().withColumn("val", F.lit(True))
+    else:
+        # ⊗ operand order matters for non-commutative ops (divides,
+        # select_second): vxm computes u(i)⊗A(i,j), mxv computes A(i,j)⊗u(j).
+        if vec_first:
+            prod = sr.mul(frontier["val"], edges["val"]).alias("p")
+        else:
+            prod = sr.mul(edges["val"], frontier["val"]).alias("p")
+        out = (
+            joined.select(out_col, prod)
+            .groupBy("id")
+            .agg(sr.add_agg(F.col("p")).alias("val"))
+        )
+    return _apply_mask(out, mask, desc.mask_complement)
+
+
+def vxm(
+    u: DataFrame,
+    g: Graph,
+    sr: Semiring | str = "PlusMultiplies",
+    mask: DataFrame | None = None,
+    desc: Descriptor = DEFAULT_DESC,
+    u_nvals: int | None = None,
+) -> DataFrame:
+    """w(dst)⟨mask⟩ = ⊕_src u(src) ⊗ A(src,dst) — reference operations.hpp:51-87."""
+    return _vecmat(u, g, sr, "src", "dst", mask, desc, u_nvals, vec_first=True)
+
+
+def mxv(
+    u: DataFrame,
+    g: Graph,
+    sr: Semiring | str = "PlusMultiplies",
+    mask: DataFrame | None = None,
+    desc: Descriptor = DEFAULT_DESC,
+    u_nvals: int | None = None,
+) -> DataFrame:
+    """w(src)⟨mask⟩ = ⊕_dst A(src,dst) ⊗ u(dst) — reference operations.hpp:95-127."""
+    return _vecmat(u, g, sr, "dst", "src", mask, desc, u_nvals, vec_first=False)

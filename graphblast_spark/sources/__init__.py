@@ -1,0 +1,12 @@
+from graphblast_spark.sources.mtx import fixture_graph, read_mtx
+from graphblast_spark.sources.corpus import generate_pages
+from graphblast_spark.sources.distill import distill_edges, extract_outlinks_udf, extract_text_udf
+
+__all__ = [
+    "fixture_graph",
+    "read_mtx",
+    "generate_pages",
+    "distill_edges",
+    "extract_outlinks_udf",
+    "extract_text_udf",
+]

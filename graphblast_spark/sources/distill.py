@@ -1,0 +1,141 @@
+"""Pages → edge-table distillation (the engine's readMtx analog).
+
+Pipeline (north_rule): vectorized Arrow UDFs extract per-url text and
+outlinks from the html binary, explode to (src_url, dst_url), assign
+dense 0..n-1 vertex ids (matching the reference's contiguous Index,
+types.hpp:18), and clean per the reference build semantics
+(util.hpp:263-329). The distilled edge table + url↔id map are written
+to parquet once and reused — the analog of the reference's binary
+``.dat`` parse cache (util.hpp:331-357, sparse_matrix.hpp:328-345).
+
+Scale notes:
+- extraction is mapInPandas over the pages scan — embarrassingly
+  parallel, no shuffle, pandas .str vectorized (no per-row Python);
+- id assignment avoids the single-partition global window: urls are
+  range-partitioned and sorted, per-partition counts are collected
+  (P integers, not rows), and ids = partition offset + local position —
+  a two-pass dense rank that scales to any |V|;
+- the url→id join for edge endpoints is a plain shuffle join on url;
+  at web scale both sides are huge, so it stays a sort-merge join —
+  done ONCE at build, then persisted.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TEXT_RE = "<p>(.*?)</p>"
+_HREF_RE = 'href="([^"]*)"'
+
+
+def _decode(html: pd.Series) -> pd.Series:
+    """Vectorized bytes→str (pandas .str.decode, no per-row Python)."""
+    return html.str.decode("utf-8", errors="replace").fillna("")
+
+
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """html binary → text string (byte-identical per url invariant).
+    Vectorized: bytes decode + regex extract via pandas .str."""
+    return _decode(html).str.extract(_TEXT_RE, expand=False).fillna("")
+
+
+def extract_outlinks_udf(html: pd.Series) -> pd.Series:
+    """html binary → list<string> of outlink urls. Vectorized findall."""
+    return _decode(html).str.findall(_HREF_RE)
+
+
+def extract_columns(pages: DataFrame) -> DataFrame:
+    """pages → (url, text_extracted, outlinks array<string>, lang)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "url": b["url"],
+                    "text_extracted": extract_text_udf(b["html"]),
+                    "outlinks": extract_outlinks_udf(b["html"]),
+                    "lang": b["lang"],
+                }
+            )
+
+    return pages.select("url", "html", "lang").mapInPandas(
+        run, schema="url string, text_extracted string, outlinks array<string>, lang string"
+    )
+
+
+def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(url) → (url, id) with ids dense 0..n-1 in global url sort order.
+
+    Two-pass scalable dense rank: range-partition + in-partition sort,
+    collect per-partition counts (tiny), then offset + local position.
+    """
+    spark = urls.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sorted_urls = (
+        urls.select("url")
+        .distinct()
+        .repartitionByRange(num_partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = dict(
+        sorted_urls.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            pid = int(b["__pid"].iloc[0])
+            if pos is None:
+                pos = boff.value[pid]
+            ids = range(pos, pos + len(b))
+            pos += len(b)
+            yield pd.DataFrame({"url": b["url"], "id": pd.Series(ids, dtype="int64")})
+
+    return sorted_urls.mapInPandas(add_ids, schema="url string, id long")
+
+
+def distill_edges(
+    pages: DataFrame,
+    drop_dangling_targets: bool = True,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """pages → (edges(src,dst,val), url_map(url,id)).
+
+    Cleaning matches reference util.hpp:263-329: self-loops dropped,
+    duplicate (src,dst) dropped, values 1.0 (pattern semantics).
+    ``drop_dangling_targets``: outlinks pointing outside the corpus are
+    dropped (inner join); the vertex universe is ALL pages (dangling
+    pages keep ids — PR teleport semantics need them, SURVEY §7.3.5).
+    """
+    cols = extract_columns(pages)
+    url_map = assign_dense_ids(cols.select("url"), num_partitions).persist()
+
+    pairs = cols.select(
+        F.col("url").alias("src_url"), F.explode("outlinks").alias("dst_url")
+    )
+    src_m = url_map.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
+    dst_m = url_map.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
+    how = "inner" if drop_dangling_targets else "left"
+    edges = (
+        pairs.join(src_m, "src_url")
+        .join(dst_m, "dst_url", how)
+        .select("src", "dst", F.lit(1.0).alias("val"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return edges, url_map

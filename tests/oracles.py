@@ -1,0 +1,142 @@
+"""Numpy oracles transliterated from the reference CPU test implementations.
+
+Each mirrors the *semantics* of graphblas/algorithm/test_*.hpp (the
+reference's own verification baseline, SURVEY §5) — not their code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _sym_edges(n: int, edges, symmetric: bool):
+    es = {(s, d) for s, d, _ in edges if s != d}
+    if symmetric:
+        es |= {(d, s) for s, d in es}
+    return sorted(es)
+
+
+def pagerank_oracle(n, edges, alpha=0.85, eps=1e-8, max_niter=100, fixed_iters=None):
+    """SimpleReferencePr semantics (test_pr.hpp:14-79): teleport (1-α)/n,
+    contributions α·p[s]/outdeg[s], NO dangling redistribution, stop on
+    Σ(Δp)² < eps post-update."""
+    dedup = sorted({(s, d) for s, d, _ in edges if s != d})
+    outdeg = np.zeros(n)
+    for s, d in dedup:
+        outdeg[s] += 1
+    p = np.full(n, 1.0 / n)
+    iters = fixed_iters if fixed_iters is not None else max_niter
+    for _ in range(iters):
+        new = np.full(n, (1 - alpha) / n)
+        for s, d in dedup:
+            new[d] += alpha * p[s] / outdeg[s]
+        err = float(((new - p) ** 2).sum())
+        p = new
+        if fixed_iters is None and err < eps:
+            break
+    return p
+
+
+def cc_oracle(n, edges, symmetric=True):
+    """Component labels = min vertex id per component (undirected),
+    via BFS flood — partition-equivalent to test_cc.hpp:14-56."""
+    adj = [[] for _ in range(n)]
+    for s, d in _sym_edges(n, edges, True):
+        adj[s].append(d)
+    label = np.arange(n)
+    seen = np.zeros(n, bool)
+    for start in range(n):
+        if seen[start]:
+            continue
+        comp = [start]
+        seen[start] = True
+        stack = [start]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    comp.append(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    return label
+
+
+def tc_oracle(n, edges):
+    """Exact triangle count via sorted-adjacency intersection on the
+    symmetrized graph (test_tc.hpp:14-84 semantics)."""
+    und = {(min(s, d), max(s, d)) for s, d, _ in edges if s != d}
+    adj = [set() for _ in range(n)]
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    # each triangle {x<y<z} is counted once: at edge (x,y) with c=z>y
+    return sum(1 for a, b in und for c in (adj[a] & adj[b]) if c > b)
+
+
+def bfs_oracle(n, edges, source=0):
+    """Depths from source (test_bfs.hpp:11-61); unreachable = -1."""
+    adj = [[] for _ in range(n)]
+    for s, d, _ in edges:
+        if s != d:
+            adj[s].append(d)
+    depth = np.full(n, -1)
+    depth[source] = 0
+    frontier = [source]
+    lvl = 0
+    while frontier:
+        lvl += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if depth[v] == -1:
+                    depth[v] = lvl
+                    nxt.append(v)
+        frontier = nxt
+    return depth
+
+
+def sssp_oracle(n, edges, source=0):
+    """Dijkstra (test_sssp.hpp:15-79); unreachable = +inf."""
+    import heapq
+
+    adj = [[] for _ in range(n)]
+    for s, d, v in edges:
+        if s != d:
+            adj[s].append((d, v))
+    dist = np.full(n, np.inf)
+    dist[source] = 0.0
+    pq = [(0.0, source)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist[u]:
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def majority_lp_oracle(n, edges, iters):
+    """Synchronous majority LP, tiebreak smallest label, isolated
+    vertices keep label; undirected."""
+    adj = [[] for _ in range(n)]
+    for s, d in _sym_edges(n, edges, True):
+        adj[s].append(d)
+    lab = np.arange(n)
+    for _ in range(iters):
+        new = lab.copy()
+        for u in range(n):
+            if not adj[u]:
+                continue
+            counts = {}
+            for v in adj[u]:
+                counts[lab[v]] = counts.get(lab[v], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[u] = best
+        lab = new
+    return lab

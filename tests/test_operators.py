@@ -1,0 +1,232 @@
+"""Per-operator unit tests vs numpy oracles (reference test/*.cu pattern,
+SURVEY §5.1: gvxm, gewisemult, gewiseadd, greduce, gbuild, gtrace, gspgemm)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphblast_spark import Descriptor, Graph
+from graphblast_spark.descriptor import MxvMode
+from graphblast_spark.matrix import EDGE_SCHEMA
+from graphblast_spark.operators import (
+    assign_masked_constant,
+    assign_scatter,
+    ewise_add,
+    ewise_add_scalar,
+    ewise_mult,
+    ewise_mult_scalar,
+    extract_gather,
+    mxm_masked,
+    mxv,
+    reduce_matrix_to_scalar,
+    reduce_matrix_to_vector,
+    reduce_vector_to_scalar,
+    scatter_constant,
+    trace_mxm_transpose,
+    vxm,
+)
+from graphblast_spark.sources.fixtures import FIXTURES
+from graphblast_spark.sources.mtx import fixture_graph
+
+FX = FIXTURES["test_bc"]  # 7 vertices, 15 directed edges
+N = FX["n"]
+
+
+def dense_mat(fx):
+    A = np.zeros((fx["n"], fx["n"]))
+    for s, d, v in fx["edges"]:
+        if s != d:
+            A[s, d] = v
+    return A
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return fixture_graph(spark, "test_bc")
+
+
+def vec_df(spark, pairs, typ="double"):
+    conv = float if typ == "double" else (lambda x: x)
+    return spark.createDataFrame([(int(i), conv(v)) for i, v in pairs], f"id long, val {typ}")
+
+
+def to_dict(df):
+    return {r["id"]: r["val"] for r in df.collect()}
+
+
+# --- build invariants (test/gbuild.cu, test.hpp:125-152 check()) -------
+def test_build_dedup_selfloop(spark):
+    raw = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 1.0), (2, 2, 5.0), (1, 0, 1.0)], EDGE_SCHEMA
+    )
+    g2 = Graph.build(raw, vertices=spark.range(3))
+    rows = {(r.src, r.dst) for r in g2.edges.collect()}
+    assert rows == {(0, 1), (1, 0)}
+    assert g2.nvals == 2 and g2.n == 3
+
+
+def test_build_symmetrize(spark):
+    raw = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)], EDGE_SCHEMA)
+    g2 = Graph.build(raw, vertices=spark.range(3), symmetrize=True)
+    rows = {(r.src, r.dst) for r in g2.edges.collect()}
+    assert rows == {(0, 1), (1, 0), (1, 2), (2, 1)}
+
+
+# --- vxm / mxv (test/gvxm.cu pattern) -----------------------------------
+@pytest.mark.parametrize("mode", [MxvMode.PUSHONLY, MxvMode.PULLONLY])
+def test_vxm_plusmultiplies(spark, g, mode):
+    A = dense_mat(FX)
+    u = np.arange(1.0, N + 1)  # dense vector 1..n
+    expect = u @ A
+    udf = vec_df(spark, enumerate(u))
+    desc = Descriptor(mxv_mode=mode)
+    got = to_dict(vxm(udf, g, "PlusMultiplies", desc=desc, u_nvals=N))
+    for j in range(N):
+        if expect[j] != 0:
+            assert got[j] == pytest.approx(expect[j])
+        else:
+            assert j not in got  # implicit zeros stay structural
+
+
+def test_mxv_plusmultiplies(spark, g):
+    A = dense_mat(FX)
+    u = np.arange(1.0, N + 1)
+    expect = A @ u
+    got = to_dict(mxv(vec_df(spark, enumerate(u)), g, "PlusMultiplies", u_nvals=N))
+    for i in range(N):
+        if expect[i] != 0:
+            assert got[i] == pytest.approx(expect[i])
+
+
+def test_vxm_minplus_sparse_frontier(spark, g):
+    # SSSP-style relax from a 1-vertex frontier
+    u = vec_df(spark, [(0, 0.0)])
+    got = to_dict(vxm(u, g, "MinimumPlus", u_nvals=1))
+    A = dense_mat(FX)
+    for j in range(N):
+        if A[0, j] != 0:
+            assert got[j] == pytest.approx(0.0 + A[0, j])
+    assert set(got) == {j for j in range(N) if A[0, j] != 0}
+
+
+def test_vxm_masked_and_complement(spark, g):
+    u = vec_df(spark, enumerate(np.ones(N)))
+    mask = vec_df(spark, [(1, 1.0), (2, 1.0)])
+    got = to_dict(vxm(u, g, "PlusMultiplies", mask=mask, u_nvals=N))
+    assert set(got) <= {1, 2}
+    desc = Descriptor(mask_complement=True)
+    got_c = to_dict(vxm(u, g, "PlusMultiplies", mask=mask, desc=desc, u_nvals=N))
+    assert not (set(got_c) & {1, 2})
+
+
+def test_vxm_struconly_bool(spark, g):
+    # BFS step: reachable-from-{0,1} existence, no values
+    u = spark.createDataFrame([(0, True), (1, True)], "id long, val boolean")
+    desc = Descriptor(structure_only=True)
+    got = vxm(u, g, "LogicalOrAnd", desc=desc, u_nvals=2)
+    A = dense_mat(FX)
+    expect = {j for j in range(N) if A[0, j] or A[1, j]}
+    assert {r["id"] for r in got.collect()} == expect
+
+
+# --- eWise (test/gewisemult.cu / gewiseadd.cu) ---------------------------
+def test_ewise_mult_intersection(spark):
+    u = vec_df(spark, [(0, 2.0), (1, 3.0), (5, 4.0)])
+    v = vec_df(spark, [(1, 10.0), (5, 0.5), (6, 9.0)])
+    got = to_dict(ewise_mult(u, v, "PlusMultiplies"))
+    assert got == {1: 30.0, 5: 2.0}
+
+
+def test_ewise_add_union_identity(spark):
+    u = vec_df(spark, [(0, 2.0), (1, 3.0)])
+    v = vec_df(spark, [(1, 10.0), (6, 9.0)])
+    got = to_dict(ewise_add(u, v, "PlusMultiplies"))
+    assert got == {0: 2.0, 1: 13.0, 6: 9.0}
+    got_min = to_dict(ewise_add(u, v, "MinimumPlus"))
+    assert got_min == {0: 2.0, 1: 3.0, 6: 9.0}
+
+
+def test_ewise_scalar_broadcast(spark):
+    u = vec_df(spark, [(0, 2.0), (1, 3.0)])
+    assert to_dict(ewise_mult_scalar(u, 10.0)) == {0: 20.0, 1: 30.0}
+    assert to_dict(ewise_add_scalar(u, 1.5)) == {0: 3.5, 1: 4.5}
+
+
+# --- reduce (test/greduce.cu) --------------------------------------------
+def test_reduce_matrix_to_vector(spark, g):
+    A = dense_mat(FX)
+    got = to_dict(reduce_matrix_to_vector(g, "Plus", axis="src"))
+    outdeg = A.astype(bool).sum(axis=1)
+    for i in range(N):
+        if outdeg[i]:
+            assert got[i] == pytest.approx(A[i].sum())
+
+
+def test_reduce_to_scalar(spark, g):
+    A = dense_mat(FX)
+    assert reduce_matrix_to_scalar(g, "Plus") == pytest.approx(A.sum())
+    u = vec_df(spark, [(0, 5.0), (3, 7.0)])
+    assert reduce_vector_to_scalar(u, "Plus") == pytest.approx(12.0)
+    assert reduce_vector_to_scalar(u, "Minimum") == pytest.approx(5.0)
+    assert reduce_vector_to_scalar(u, structure_only=True) == 2
+
+
+# --- assign / scatter / gather (cc.hpp:77-99 semantics) -------------------
+def test_assign_masked_constant(spark):
+    w = vec_df(spark, [(0, 1.0), (1, 2.0), (2, 3.0)])
+    mask = vec_df(spark, [(1, 1.0)])
+    assert to_dict(assign_masked_constant(w, mask, 99.0)) == {0: 1.0, 1: 99.0, 2: 3.0}
+    assert to_dict(assign_masked_constant(w, mask, 99.0, mask_complement=True)) == {
+        0: 99.0, 1: 2.0, 2: 99.0,
+    }
+
+
+def test_assign_scatter_min_resolution(spark):
+    w = vec_df(spark, [(0, 10.0), (1, 20.0), (2, 30.0)])
+    updates = spark.createDataFrame([(1, 5.0), (1, 3.0), (2, 7.0)], "target long, val double")
+    assert to_dict(assign_scatter(w, updates)) == {0: 10.0, 1: 3.0, 2: 7.0}
+
+
+def test_extract_gather_pointer_jump(spark):
+    f = vec_df(spark, [(0, 0.0), (1, 0.0), (2, 1.0), (3, 2.0)], "double")
+    # f[f[u]]: 3 -> f[2]=1, 2 -> f[1]=0
+    got = to_dict(extract_gather(f, f))
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 1.0}
+
+
+def test_scatter_constant(spark):
+    u = vec_df(spark, [(0, 3.0), (1, 5.0), (2, 3.0)])
+    got = to_dict(scatter_constant(u, True))
+    assert got == {3: True, 5: True}
+
+
+# --- SpGEMM / trace (test/gspgemm.cu, gtrace.cu) --------------------------
+def test_mxm_masked_vs_numpy(spark, g):
+    A = dense_mat(FX)
+    C = A @ A
+    mask = g.edges  # mask pattern = A's own pattern (the TC shape)
+    got = {(r.src, r.dst): r.val for r in mxm_masked(mask, g, g).collect()}
+    for s, d, _ in FX["edges"]:
+        if C[s, d] != 0:
+            assert got[(s, d)] == pytest.approx(C[s, d])
+        else:
+            assert (s, d) not in got
+
+
+def test_trace_mxm_transpose(spark, g):
+    A = dense_mat(FX)
+    expect = float((A * A).sum())  # Tr(A·Aᵀ) = Σ A∘A
+    assert trace_mxm_transpose(g, g) == pytest.approx(expect)
+
+
+# --- structural (tril / transpose / scale) --------------------------------
+def test_tril_transpose_scale(spark, g):
+    low = {(r.src, r.dst) for r in g.tril().edges.collect()}
+    assert all(s > d for s, d in low)
+    t = {(r.src, r.dst) for r in g.transpose().edges.collect()}
+    orig = {(r.src, r.dst) for r in g.edges.collect()}
+    assert t == {(d, s) for s, d in orig}
+    scaled = g.scale_vals(2.5)
+    assert all(r.val == 2.5 for r in scaled.edges.collect())
