@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 gets a ``queries()`` entry and
+(where SQL-expressible) an ``oracle_sql()`` DuckDB equivalent. The
+test graphs are derived deterministically from the driver's TPC-H-ish
+parquet (see graphblast_spark/sources/tpch_graphs.py) so both engines
+compute over identical inputs:
+
+- co-purchase graph (symmetric, hubs, triangles) — lineitem self-join;
+- part→supplier bipartite digraph (dangling vertices) — PR semantics.
+
+Iterative algorithms are run for a FIXED superstep count and verified
+against recursive-CTE oracles; floats are rounded to 6 decimals on BOTH
+sides (float64 noise ≪ 1e-6, SURVEY §7.3.1).
 """
 
 from __future__ import annotations
@@ -12,27 +19,650 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from graphblast_spark import Descriptor, Graph
+from graphblast_spark.algorithms import (
+    bfs,
+    connected_components,
+    label_propagation_majority,
+    pagerank,
+    sssp,
+    triangle_count,
+)
+from graphblast_spark.algorithms.tc import common_neighbors_per_edge
+from graphblast_spark.functions.dedup import (
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
+from graphblast_spark.functions.text import add_fingerprint, add_lang_id, add_quality, add_token_count
+from graphblast_spark.operators import ewise_add, ewise_mult, vxm
+from graphblast_spark.sources.tpch_graphs import (
+    SQL_COPURCHASE_EDGES,
+    SQL_COPURCHASE_VERTICES,
+    SQL_PARTSUPP_EDGES,
+    SQL_PARTSUPP_VERTICES,
+    copurchase_edges,
+    copurchase_graph,
+    partsupp_graph,
+)
+
+# ----------------------------------------------------------------------
+# Shared helpers
+# ----------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _u_mod7(g: Graph) -> DataFrame:
+    """Deterministic dense test vector u(id) = (id % 7) + 1."""
+    return g.vertices.select("id", ((F.col("id") % 7) + 1).cast("double").alias("val"))
+
+
+def _weighted(g: Graph) -> Graph:
+    """Edge values ((src+dst) % 10) as double — a deterministic non-unit
+    value pattern both engines can reproduce."""
+    return Graph(
+        edges=g.edges.withColumn("val", ((F.col("src") + F.col("dst")) % 10).cast("double")),
+        vertices=g.vertices, n=g.n, nvals=g.nvals,
+    )
+
+
+# ----------------------------------------------------------------------
+# Spark queries
+# ----------------------------------------------------------------------
+
+def q_g_build(spark, sf_dir):
+    return copurchase_edges(spark, sf_dir).select("src", "dst", "val")
+
+
+def q_g_degrees(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+
+
+def q_g_vecmat_spmv(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    out = vxm(_u_mod7(g), g, "PlusMultiplies", u_nvals=g.n)
+    return out.select("id", F.round("val", 6).alias("val"))
+
+
+def q_g_vecmat_minplus(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    u = g.vertices.select("id", (F.col("id") % 100).cast("double").alias("val"))
+    return vxm(u, g, "MinimumPlus", u_nvals=g.n).select("id", F.round("val", 6).alias("val"))
+
+
+def q_g_vecmat_masked(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    mask = g.vertices.filter(F.col("id") % 3 == 0)
+    out = vxm(_u_mod7(g), g, "PlusMultiplies", mask=mask,
+              desc=Descriptor(mask_complement=True), u_nvals=g.n)
+    return out.select("id", F.round("val", 6).alias("val"))
+
+
+def _uv_vectors(g: Graph):
+    u = g.vertices.filter(F.col("id") % 2 == 0).select(
+        "id", ((F.col("id") % 5) + 1).cast("double").alias("val"))
+    v = g.vertices.filter(F.col("id") % 3 == 0).select(
+        "id", ((F.col("id") % 7) + 2).cast("double").alias("val"))
+    return u, v
+
+
+def q_g_ewise_mult(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    u, v = _uv_vectors(g)
+    return ewise_mult(u, v, "PlusMultiplies").select("id", F.round("val", 6).alias("val"))
+
+
+def q_g_ewise_add(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    u, v = _uv_vectors(g)
+    return ewise_add(u, v, "PlusMultiplies").select("id", F.round("val", 6).alias("val"))
+
+
+def q_g_reduce_rowwise(spark, sf_dir):
+    g = _weighted(copurchase_graph(spark, sf_dir))
+    return g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.round(F.sum("val"), 6).alias("val")
+    )
+
+
+def q_g_reduce_scalar(spark, sf_dir):
+    g = _weighted(copurchase_graph(spark, sf_dir))
+    return g.edges.agg(F.round(F.sum("val"), 6).alias("total"))
+
+
+def q_g_tril(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return g.tril().edges.select("src", "dst")
+
+
+def q_g_transpose(spark, sf_dir):
+    g = partsupp_graph(spark, sf_dir)
+    return g.transpose().edges.select("src", "dst")
+
+
+def q_g_tc(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    n_tri = triangle_count(g, orient="degree")
+    return spark.createDataFrame([(int(n_tri),)], "n_triangles long")
+
+
+def q_g_common_neighbors(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return common_neighbors_per_edge(g).select("src", "dst", F.col("common").cast("long").alias("common"))
+
+
+def q_g_trace(spark, sf_dir):
+    g = _weighted(copurchase_graph(spark, sf_dir))
+    return g.edges.agg(F.round(F.sum(F.col("val") * F.col("val")), 6).alias("trace"))
+
+
+def q_g_pagerank(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    pr = pagerank(g, fixed_iters=10)
+    return pr.select("id", F.round("val", 6).alias("pagerank"))
+
+
+def q_g_pagerank_dangling(spark, sf_dir):
+    g = partsupp_graph(spark, sf_dir)
+    pr = pagerank(g, fixed_iters=10)
+    return pr.select("id", F.round("val", 6).alias("pagerank"))
+
+
+def q_g_cc(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return connected_components(g).select("id", "component")
+
+
+def q_g_lp_majority(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return label_propagation_majority(g, iters=5).select("id", "label")
+
+
+def _min_part(spark, sf_dir) -> int:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+        F.min("l_partkey")
+    ).first()[0]
+
+
+def q_g_bfs(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    src = _min_part(spark, sf_dir)
+    return bfs(g, source=src).select("id", "depth")
+
+
+def q_g_sssp(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    gw = Graph(
+        edges=g.edges.withColumn(
+            "val", (((F.col("src") + F.col("dst")) % 10) + 1).cast("double")
+        ),
+        vertices=g.vertices, n=g.n, nvals=g.nvals,
+    )
+    src = _min_part(spark, sf_dir)
+    return sssp(gw, source=src).select("id", F.round("dist", 6).alias("dist"))
+
+
+# --- documents / training-data ops -------------------------------------
+
+def q_d_token_count(spark, sf_dir):
+    return add_token_count(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+    )
+
+
+def q_d_quality(spark, sf_dir):
+    return add_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+def q_d_lang_id(spark, sf_dir):
+    return add_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_d_fingerprint(spark, sf_dir):
+    return add_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5", "fp_rolling")
+
+
+def q_d_exact_dedup(spark, sf_dir):
+    return exact_duplicate_groups(_docs(spark, sf_dir)).select(
+        "fp_md5", "n_dups", "canonical_id"
+    )
+
+
+def q_d_minhash_lsh(spark, sf_dir):
+    sigs = minhash_signature(_docs(spark, sf_dir), k=8)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+def q_d_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signature(docs, k=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return ngram_jaccard_pairs(docs, pairs, threshold=0.2)
+
+
+def q_d_simhash(spark, sf_dir):
+    return simhash64(_docs(spark, sf_dir), bits=60)
+
+
+def q_e_knn_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_e_ivf_knn(spark, sf_dir):
+    # Approximate ANN — not SQL-expressible identically (IVF assignment);
+    # driver records a rows-only check.
+    emb = _emb(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(10)
+    return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+
+
+def q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def q_lineitem_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Driver API
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: PageRank over the co-purchase graph at sf0.001."""
+    return q_g_pagerank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "g_build": q_g_build,
+        "g_degrees": q_g_degrees,
+        "g_vecmat_spmv": q_g_vecmat_spmv,
+        "g_vecmat_minplus": q_g_vecmat_minplus,
+        "g_vecmat_masked": q_g_vecmat_masked,
+        "g_ewise_mult": q_g_ewise_mult,
+        "g_ewise_add": q_g_ewise_add,
+        "g_reduce_rowwise": q_g_reduce_rowwise,
+        "g_reduce_scalar": q_g_reduce_scalar,
+        "g_tril": q_g_tril,
+        "g_transpose": q_g_transpose,
+        "g_tc": q_g_tc,
+        "g_common_neighbors": q_g_common_neighbors,
+        "g_trace": q_g_trace,
+        "g_pagerank": q_g_pagerank,
+        "g_pagerank_dangling": q_g_pagerank_dangling,
+        "g_cc": q_g_cc,
+        "g_lp_majority": q_g_lp_majority,
+        "g_bfs": q_g_bfs,
+        "g_sssp": q_g_sssp,
+        "d_token_count": q_d_token_count,
+        "d_quality": q_d_quality,
+        "d_lang_id": q_d_lang_id,
+        "d_fingerprint": q_d_fingerprint,
+        "d_exact_dedup": q_d_exact_dedup,
+        "d_minhash_lsh": q_d_minhash_lsh,
+        "d_jaccard": q_d_jaccard,
+        "d_simhash": q_d_simhash,
+        "e_knn_cosine": q_e_knn_cosine,
+        "e_ivf_knn": q_e_ivf_knn,
+        "q_events_window": q_events_window,
+        "q_lineitem_agg": q_lineitem_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# DuckDB oracles
+# ----------------------------------------------------------------------
+
+_EDGES = f"edges AS ({SQL_COPURCHASE_EDGES})"
+_VERTICES = f"vertices AS ({SQL_COPURCHASE_VERTICES})"
+_PS_EDGES = f"ps_edges AS ({SQL_PARTSUPP_EDGES})"
+_PS_VERTICES = f"ps_vertices AS ({SQL_PARTSUPP_VERTICES})"
+
+# Tokenizer/shingle CTEs shared by the documents oracles (must stay in
+# lockstep with functions/text.py tokens() and functions/dedup.py shingles()).
+_TOKS = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+)"""
+_SHINGLES = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(generate_series(1, len(t)-2),
+                               i -> array_to_string(t[i:i+2], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks
+)"""
+
+
+def _sql_minhash_sig(k: int = 8) -> str:
+    mins = ",\n    ".join(
+        f"list_min(list_transform(s, x -> md5(x || '|{j}')))" for j in range(k)
+    )
+    return f"sig AS (\n  SELECT doc_id, [{mins}] AS sg FROM sh\n)"
+
+
+def _sql_lsh_pairs(bands: int = 4, rows: int = 2) -> str:
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+banded AS (
+  SELECT doc_id, b.band AS band,
+         md5(array_to_string(sg[b.band*{rows}+1 : b.band*{rows}+{rows}], ',')) AS bkey
+  FROM sig, (VALUES {band_rows}) b(band)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)"""
+
+
+def _sql_simhash(bits: int = 60) -> str:
+    votes = "\n      + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH {_TOKS},
+th AS (
+  SELECT doc_id,
+         list_transform(list_distinct(t),
+                        x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+  FROM toks
+)
+SELECT doc_id, ({votes}) AS simhash FROM th
+"""
+
+
+_SQL_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS n_stop,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS DOUBLE) / len(t) ELSE 0.0 END AS stop_ratio
+  FROM base
+)
+SELECT doc_id,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(least(n_tok / CAST(100.0 AS DOUBLE), 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
+             + least(stop_ratio * 4, 1.0) * 0.3, 6) AS quality
+FROM r
+"""
+
+_SQL_LANG = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS en,
+         len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS de,
+         len(list_filter(t, x -> x IN ('le','la','et','les','est'))) AS fr
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+_SQL_COSINE = """
+round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_expr = "(SELECT CAST(count(*) AS DOUBLE) FROM vertices)"
+    return {
+        "g_build": f"WITH {_EDGES} SELECT src, dst, CAST(1.0 AS DOUBLE) AS val FROM edges",
+        "g_degrees": f"WITH {_EDGES} SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src",
+        "g_vecmat_spmv": f"""
+            WITH {_EDGES}
+            SELECT dst AS id, round(sum(CAST((src % 7) + 1 AS DOUBLE) * 1.0), 6) AS val
+            FROM edges GROUP BY dst""",
+        "g_vecmat_minplus": f"""
+            WITH {_EDGES}
+            SELECT dst AS id, round(min(CAST(src % 100 AS DOUBLE) + 1.0), 6) AS val
+            FROM edges GROUP BY dst""",
+        "g_vecmat_masked": f"""
+            WITH {_EDGES}
+            SELECT dst AS id, round(sum(CAST((src % 7) + 1 AS DOUBLE) * 1.0), 6) AS val
+            FROM edges WHERE dst % 3 <> 0 GROUP BY dst""",
+        "g_ewise_mult": f"""
+            WITH {_VERTICES},
+            u AS (SELECT id, CAST((id % 5) + 1 AS DOUBLE) AS val FROM vertices WHERE id % 2 = 0),
+            v AS (SELECT id, CAST((id % 7) + 2 AS DOUBLE) AS val FROM vertices WHERE id % 3 = 0)
+            SELECT u.id AS id, round(u.val * v.val, 6) AS val FROM u JOIN v ON u.id = v.id""",
+        "g_ewise_add": f"""
+            WITH {_VERTICES},
+            u AS (SELECT id, CAST((id % 5) + 1 AS DOUBLE) AS val FROM vertices WHERE id % 2 = 0),
+            v AS (SELECT id, CAST((id % 7) + 2 AS DOUBLE) AS val FROM vertices WHERE id % 3 = 0)
+            SELECT coalesce(u.id, v.id) AS id,
+                   round(coalesce(u.val, 0.0) + coalesce(v.val, 0.0), 6) AS val
+            FROM u FULL OUTER JOIN v ON u.id = v.id""",
+        "g_reduce_rowwise": f"""
+            WITH {_EDGES}
+            SELECT src AS id, round(sum(CAST((src + dst) % 10 AS DOUBLE)), 6) AS val
+            FROM edges GROUP BY src""",
+        "g_reduce_scalar": f"""
+            WITH {_EDGES}
+            SELECT round(sum(CAST((src + dst) % 10 AS DOUBLE)), 6) AS total FROM edges""",
+        "g_tril": f"WITH {_EDGES} SELECT src, dst FROM edges WHERE src > dst",
+        "g_transpose": f"WITH {_PS_EDGES} SELECT dst AS src, src AS dst FROM ps_edges",
+        "g_tc": f"""
+            WITH {_EDGES},
+            low AS (SELECT src, dst FROM edges WHERE src < dst)
+            SELECT count(*) AS n_triangles
+            FROM low e1 JOIN low e2 ON e1.dst = e2.src
+                 JOIN low e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+        "g_common_neighbors": f"""
+            WITH {_EDGES},
+            low AS (SELECT src, dst FROM edges WHERE src < dst)
+            SELECT e.src AS src, e.dst AS dst, count(*) AS common
+            FROM low e
+            JOIN edges n1 ON n1.src = e.src
+            JOIN edges n2 ON n2.src = e.dst AND n2.dst = n1.dst
+            GROUP BY e.src, e.dst""",
+        "g_trace": f"""
+            WITH {_EDGES}
+            SELECT round(sum(CAST((src + dst) % 10 AS DOUBLE) * CAST((src + dst) % 10 AS DOUBLE)), 6) AS trace
+            FROM edges""",
+        "g_pagerank": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            outdeg AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+            ew AS (
+              SELECT e.src, e.dst, CAST(0.85 AS DOUBLE) / o.c AS w
+              FROM edges e JOIN outdeg o ON e.src = o.id
+              UNION ALL
+              SELECT id, id, CAST(0.0 AS DOUBLE) FROM vertices
+            ),
+            pr(iter, id, val) AS (
+              SELECT 0, id, CAST(1.0 AS DOUBLE) / {n_expr} FROM vertices
+              UNION ALL
+              SELECT p.iter + 1, e.dst, CAST(0.15 AS DOUBLE) / {n_expr} + sum(e.w * p.val)
+              FROM pr p JOIN ew e ON p.id = e.src
+              WHERE p.iter < 10
+              GROUP BY p.iter, e.dst
+            )
+            SELECT id, round(val, 6) AS pagerank FROM pr WHERE iter = 10""",
+        "g_pagerank_dangling": f"""
+            WITH RECURSIVE {_PS_EDGES}, {_PS_VERTICES},
+            outdeg AS (SELECT src AS id, count(*) AS c FROM ps_edges GROUP BY src),
+            ew AS (
+              SELECT e.src, e.dst, CAST(0.85 AS DOUBLE) / o.c AS w
+              FROM ps_edges e JOIN outdeg o ON e.src = o.id
+              UNION ALL
+              SELECT id, id, CAST(0.0 AS DOUBLE) FROM ps_vertices
+            ),
+            pr(iter, id, val) AS (
+              SELECT 0, id, CAST(1.0 AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM ps_vertices) FROM ps_vertices
+              UNION ALL
+              SELECT p.iter + 1, e.dst,
+                     CAST(0.15 AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM ps_vertices) + sum(e.w * p.val)
+              FROM pr p JOIN ew e ON p.id = e.src
+              WHERE p.iter < 10
+              GROUP BY p.iter, e.dst
+            )
+            SELECT id, round(val, 6) AS pagerank FROM pr WHERE iter = 10""",
+        "g_cc": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            ea AS (
+              SELECT src, dst FROM edges
+              UNION ALL
+              SELECT id, id FROM vertices
+            ),
+            lbl(iter, id, l) AS (
+              SELECT 0, id, id FROM vertices
+              UNION ALL
+              SELECT p.iter + 1, e.src, min(p.l)
+              FROM lbl p JOIN ea e ON p.id = e.dst
+              WHERE p.iter < 40
+              GROUP BY p.iter, e.src
+            )
+            SELECT id, l AS component FROM lbl WHERE iter = 40""",
+        "g_lp_majority": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            ew AS (
+              SELECT src, dst, 1 AS w FROM edges
+              UNION ALL
+              SELECT id, id, 0 FROM vertices
+            ),
+            lp(iter, id, lbl) AS (
+              SELECT 0, id, id FROM vertices
+              UNION ALL
+              SELECT iter + 1, id, arg_max(lbl, cnt * 100000000 - lbl)
+              FROM (
+                SELECT p.iter AS iter, e.src AS id, p.lbl AS lbl, sum(e.w) AS cnt
+                FROM lp p JOIN ew e ON p.id = e.dst
+                GROUP BY p.iter, e.src, p.lbl
+              )
+              WHERE iter < 5
+              GROUP BY iter, id
+            )
+            SELECT id, lbl AS label FROM lp WHERE iter = 5""",
+        "g_bfs": f"""
+            WITH RECURSIVE {_EDGES},
+            b(id, depth) AS (
+              SELECT (SELECT min(l_partkey) FROM lineitem), 0
+              UNION
+              SELECT e.dst, b.depth + 1
+              FROM b JOIN edges e ON b.id = e.src AND b.depth < 50
+            )
+            SELECT id, CAST(min(depth) AS BIGINT) AS depth FROM b GROUP BY id""",
+        "g_sssp": f"""
+            WITH RECURSIVE {_EDGES},
+            ew AS (SELECT src, dst, CAST((src + dst) % 10 + 1 AS DOUBLE) AS w FROM edges),
+            d(iter, id, dist) AS (
+              SELECT 0, (SELECT min(l_partkey) FROM lineitem), CAST(0.0 AS DOUBLE)
+              UNION ALL
+              SELECT p.iter + 1, e.dst, min(p.dist + e.w)
+              FROM d p JOIN ew e ON p.id = e.src
+              WHERE p.iter < 30
+              GROUP BY p.iter, e.dst
+            )
+            SELECT id, round(min(dist), 6) AS dist FROM d GROUP BY id""",
+        "d_token_count": rf"""
+            WITH {_TOKS},
+            bpe AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS b
+              FROM documents
+            )
+            SELECT toks.doc_id AS doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(b) AS BIGINT) AS n_subwords
+            FROM toks JOIN bpe ON toks.doc_id = bpe.doc_id""",
+        "d_quality": _SQL_QUALITY,
+        "d_lang_id": _SQL_LANG,
+        # min over shingle md5s is distinct-insensitive, so the deduped
+        # shingle CTE reproduces add_fingerprint's non-deduped min exactly.
+        "d_fingerprint": f"""
+            WITH {_TOKS}, {_SHINGLES}
+            SELECT sh.doc_id AS doc_id, md5(d.text) AS fp_md5,
+                   list_min(list_transform(sh.s, x -> md5(x))) AS fp_rolling
+            FROM sh JOIN documents d ON d.doc_id = sh.doc_id""",
+        "d_exact_dedup": """
+            SELECT md5(text) AS fp_md5, count(*) AS n_dups, min(doc_id) AS canonical_id
+            FROM documents GROUP BY md5(text) HAVING count(*) >= 2""",
+        "d_minhash_lsh": f"""
+            WITH {_TOKS}, {_SHINGLES}, {_sql_minhash_sig(8)}, {_sql_lsh_pairs(4, 2)}
+            SELECT a, b FROM cand""",
+        "d_jaccard": f"""
+            WITH {_TOKS}, {_SHINGLES}, {_sql_minhash_sig(8)}, {_sql_lsh_pairs(4, 2)}
+            SELECT c.a AS a, c.b AS b,
+                   round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+            FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.2""",
+        "d_simhash": _sql_simhash(60),
+        "e_knn_cosine": f"""
+            WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_COSINE} AS cos
+              FROM q, embeddings c
+              WHERE q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= 5""",
+        # e_ivf_knn intentionally omitted: approximate ANN, rows-only check.
+        "q_events_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 6) AS total
+            FROM events GROUP BY 1, 2""",
+        "q_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    }

@@ -1,0 +1,162 @@
+"""Deduplication for web-scale training corpora.
+
+Five tiers, all shuffle-conscious and all built from JVM-side Column
+expressions (no Python in the hot path):
+
+- **exact**: hash-groupBy on md5(text) — one shuffle on a short key.
+- **MinHash + LSH**: word-shingle → K md5-minhashes → B bands →
+  bucket-join. The LSH band join turns the O(n²) pair space into
+  per-bucket joins; at 10^12 docs this is THE near-dup strategy — the
+  shuffle key is the band hash, and bucket sizes are bounded by
+  near-dup cluster sizes, not corpus size.
+- **n-gram Jaccard**: exact verification on LSH candidates only
+  (array_intersect/union on distinct shingle sets).
+- **SimHash**: 64-bit bit-vote fingerprint; near-dups = equal (or
+  Hamming-close) simhash — groupable, no pair join at all.
+- **embedding cosine** near-dup: see functions/similarity.py.
+
+Hash choice: md5 (not xxhash) so the DuckDB correctness oracles can
+reproduce every signature bit-for-bit; the 60-bit hex→int trick
+(conv in Spark, '0x'-cast in DuckDB) keeps ints in signed-64 range.
+Production would swap in xxhash64 — a one-line change per site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphblast_spark.functions.text import tokens
+
+
+def shingles(col: Column, n_words: int = 3) -> Column:
+    """Distinct word n-gram shingle set (lowercased, whitespace-split)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    sh = F.when(
+        n >= n_words,
+        F.transform(
+            F.sequence(F.lit(0), n - n_words),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n_words)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(sh)
+
+
+def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (fp_md5, n_dups, canonical_id,
+    doc_ids) for groups with ≥2 members. One shuffle on md5."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("canonical_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n_words: int = 3,
+) -> DataFrame:
+    """(doc_id, sig array<string>[k]): sig_j = min over shingles of
+    md5(shingle || '|' || j). String-ordered md5 is a valid uniform
+    permutation proxy, and is reproducible in any engine with md5."""
+    sh = shingles(F.col(text_col), n_words)
+
+    def _minhash(j):
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"|{j}")))))
+
+    sig = F.array(*[_minhash(j) for j in range(k)])
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs (a < b): documents sharing at
+    least one LSH band. Band key = md5(concat of the band's rows).
+    The band-bucket self-join is the only shuffle; dedup via distinct."""
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    l = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("a"))
+    r = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("b"))
+    return (
+        l.join(r, on=["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: (a, b, jaccard).
+    Join the (small) candidate list against the shingle table twice —
+    both joins broadcast the pair list when it is small."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n_words).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .select("a", "b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """(doc_id, simhash): per-token 60-bit hash (md5 hex → int via conv),
+    bit-vote aggregate, sign → fingerprint bit. 60 bits keeps every
+    intermediate in signed-64 range (and is DuckDB-replayable)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    def _vote(b):
+        mask = F.lit(1 << b).cast("long")
+        return F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    votes = [_vote(b) for b in range(bits)]
+    fp = None
+    for b, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))

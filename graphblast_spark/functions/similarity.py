@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of each query against the
+  corpus — the correctness baseline. Cross join + per-query window
+  top-k; dot products via zip_with/aggregate (JVM-side, codegen'd).
+  At scale this is only for small query sets (broadcast the queries).
+
+- ``ivf_topk``: IVF-style approximate variant — the scale path.
+  Vectors are assigned to their nearest centroid (coarse quantizer);
+  a query probes its ``nprobe`` nearest cells only. Partition-parallel:
+  the corpus is bucketed by cell id, so each probe is a co-partitioned
+  join instead of a cross join. Deterministic: centroids are the first
+  ``n_cells`` vectors by id (seedless, reproducible) — swap in k-means
+  centroids at production scale without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) — exact top-k by cosine, excluding
+    self-matches. Ties broken by neighbor_id asc (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def _assign_cells(vectors: DataFrame, centroids: DataFrame, nprobe: int, id_col: str, vec_col: str) -> DataFrame:
+    """For each vector: its ``nprobe`` best cells by cosine (nprobe=1 for
+    corpus assignment, >1 for query probing)."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "vid", "vv", F.col("cell"),
+        cosine(F.col("vv"), F.col("centroid")).alias("cs"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("cell").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= nprobe).select("vid", "vv", "cell")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate (query_id, neighbor_id, cos) top-k: search only the
+    query's ``nprobe`` nearest IVF cells."""
+    centroids = (
+        corpus.orderBy(id_col).limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
+            F.col(vec_col).alias("centroid"),
+        )
+    ).persist()
+    assigned = _assign_cells(corpus, centroids, 1, id_col, vec_col).select(
+        F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv"), "cell"
+    )
+    probes = _assign_cells(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col("vid").alias("query_id"), F.col("vv").alias("qv"), "cell"
+    )
+    scored = (
+        probes.join(assigned, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+    Exact all-pairs — at scale, pre-bucket with ivf cells and run this
+    within cells (same expression, bucketed join)."""
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,90 @@
+"""Deterministic graphs derived from the driver's TPC-H-ish tables.
+
+The driver's correctness gate compares Spark results against DuckDB SQL
+over the same parquet views, so the *test* graphs must be derivable in
+both engines from identical expressions. Two graphs:
+
+- **co-purchase** (undirected, triangles, hubs): parts that co-occur in
+  an order: ``SELECT DISTINCT a.l_partkey, b.l_partkey FROM lineitem a
+  JOIN lineitem b ON same order AND different part``. Symmetric by
+  construction; popular parts are hub vertices (skew).
+- **part→supplier bipartite** (directed, dangling): l_partkey →
+  l_suppkey + SUPP_OFFSET. Suppliers have no out-edges — exercises
+  PageRank's no-dangling-redistribution semantics (SURVEY §7.3.5).
+
+The production ingestion path is sources/distill.py (pages → edges);
+these exist so every engine op has a DuckDB-checkable oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphblast_spark.matrix import Graph
+
+SUPP_OFFSET = 1_000_000
+
+# Shared SQL fragments (DuckDB oracle side) — keep in lockstep with the
+# DataFrame builders below.
+SQL_COPURCHASE_EDGES = """
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+SQL_COPURCHASE_VERTICES = "SELECT DISTINCT l_partkey AS id FROM lineitem"
+
+SQL_PARTSUPP_EDGES = f"""
+  SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst
+  FROM lineitem
+"""
+SQL_PARTSUPP_VERTICES = f"""
+  SELECT DISTINCT l_partkey AS id FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey + {SUPP_OFFSET} AS id FROM lineitem
+"""
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("val", F.lit(1.0))
+    )
+
+
+def copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    li = _lineitem(spark, sf_dir)
+    vertices = li.select(F.col("l_partkey").alias("id")).distinct()
+    return Graph.build(copurchase_edges(spark, sf_dir), vertices=vertices)
+
+
+def partsupp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+        .withColumn("val", F.lit(1.0))
+    )
+
+
+def partsupp_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    li = _lineitem(spark, sf_dir)
+    vertices = (
+        li.select(F.col("l_partkey").alias("id"))
+        .unionByName(li.select((F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("id")))
+        .distinct()
+    )
+    return Graph.build(partsupp_edges(spark, sf_dir), vertices=vertices)

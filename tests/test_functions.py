@@ -1,0 +1,209 @@
+"""Training-data pipeline functions over the driver-provided documents/
+embeddings tables (sf0.001), with DuckDB cross-checks for the hash-based
+paths (de-risking the driver's oracle gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphblast_spark.functions.dedup import (
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from graphblast_spark.functions.multimodal import (
+    FEATURE_DIM,
+    decode_stats,
+    extract_features,
+    frame_sample,
+)
+from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
+from graphblast_spark.functions.text import add_fingerprint, add_lang_id, add_quality, add_token_count
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def test_token_count_and_quality(docs):
+    out = add_quality(add_token_count(docs)).select(
+        "doc_id", "n_tokens", "n_subwords", "punct_ratio", "stopword_ratio", "quality"
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        assert r.n_tokens >= 0 and r.n_subwords >= r.n_tokens * 0  # defined
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.quality <= 1.0
+
+
+def test_lang_id_marker_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist da"),
+            (3, "le chat et la souris est ici"),
+            (4, "zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in add_lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_matches_duckdb(docs):
+    got = add_fingerprint(docs).select("doc_id", "fp_md5").orderBy("doc_id").collect()
+    oracle = duckdb.sql(
+        f"select doc_id, md5(text) fp from '{SF_DIR}/documents.parquet' order by doc_id"
+    ).fetchall()
+    assert [(r.doc_id, r.fp_md5) for r in got] == oracle
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "aa bb")], "doc_id long, text string"
+    )
+    rows = exact_duplicate_groups(df).collect()
+    assert len(rows) == 1
+    assert rows[0].n_dups == 3 and rows[0].canonical_id == 1
+    assert rows[0].doc_ids == [1, 2, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # Construct a corpus with a known near-dup pair + the real docs.
+    base = docs.limit(20).select("doc_id", "text")
+    d0 = base.first()
+    near = spark.createDataFrame(
+        [(100000, d0.text + " tail")], "doc_id long, text string"
+    )
+    corpus = base.unionByName(near)
+    sigs = minhash_signature(corpus, k=16)
+    pairs = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (d0.doc_id, 100000) in got
+    verified = ngram_jaccard_pairs(corpus, pairs, threshold=0.5)
+    vrows = {(r.a, r.b): r.jaccard for r in verified.collect()}
+    assert vrows.get((d0.doc_id, 100000), 0) > 0.5
+
+
+def test_minhash_signature_matches_duckdb(spark, docs):
+    sub = docs.limit(5).select("doc_id", "text")
+    got = {r.doc_id: r.sig for r in minhash_signature(sub, k=4).collect()}
+    pdf = sub.toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    oracle = con.sql(
+        """
+        with toks as (
+          select doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') t
+          from d
+        ), sh as (
+          select doc_id,
+                 list_distinct(case when len(t) >= 3
+                   then list_transform(generate_series(1, len(t)-2),
+                                       i -> array_to_string(t[i:i+2], ' '))
+                   else [array_to_string(t, ' ')] end) s
+          from toks
+        )
+        select doc_id,
+               [list_min(list_transform(s, x -> md5(x || '|0'))),
+                list_min(list_transform(s, x -> md5(x || '|1'))),
+                list_min(list_transform(s, x -> md5(x || '|2'))),
+                list_min(list_transform(s, x -> md5(x || '|3')))] sig
+        from sh
+        """
+    ).fetchall()
+    for doc_id, sig in oracle:
+        assert got[doc_id] == sig, doc_id
+
+
+def test_simhash_near_for_near_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "completely different words about spark dataframes and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    ham12 = bin(got[1] ^ got[2]).count("1")
+    ham13 = bin(got[1] ^ got[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_brute_force_topk_vs_numpy(emb):
+    queries = emb.limit(3)
+    got = brute_force_topk(emb, queries, k=5).collect()
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sim = Mn @ Mn.T
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cos))
+    for qid, neigh in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        s = sim[qi].copy()
+        s[qi] = -np.inf
+        expect_top = set(np.argsort(-s)[:5])
+        got_ids = {int(np.where(ids == n)[0][0]) for n, _ in neigh}
+        # allow tie-order differences; cosine values must match
+        for n, c in neigh:
+            ni = int(np.where(ids == n)[0][0])
+            assert c == pytest.approx(sim[qi, ni], abs=2e-6)
+        assert len(got_ids & expect_top) >= 4  # ties may swap the margin
+    assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_ivf_topk_recall(emb):
+    queries = emb.limit(10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # nprobe=4 of 8 cells → decent recall
+
+
+def test_multimodal_plumbing(spark):
+    import os
+    rows = [
+        (i, "image", os.urandom if False else bytes([i % 256]) * (64 + i), 8, 8, 0)
+        for i in range(20)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, width int, height int, sample_rate int"
+    )
+    stats = decode_stats(assets).collect()
+    assert len(stats) == 20
+    assert all(0 <= r.mean_px <= 255 for r in stats)
+    # deterministic: same input → same stats
+    stats2 = decode_stats(assets).collect()
+    assert sorted(map(tuple, stats)) == sorted(map(tuple, stats2))
+
+    feats = extract_features(assets).collect()
+    assert all(len(r.embedding) == FEATURE_DIM for r in feats)
+
+    frames = frame_sample(assets, every_n=2).collect()
+    assert all(len(r.frame) <= 16 for r in frames)
+    assert len(frames) > 0
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_stats(assets, strict=True).collect()
