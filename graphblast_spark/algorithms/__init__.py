@@ -1,16 +1,26 @@
-from graphblast_spark.algorithms.pagerank import pagerank
+from graphblast_spark.algorithms.pagerank import pagerank, pagerank_prep
 from graphblast_spark.algorithms.cc import connected_components
 from graphblast_spark.algorithms.lp import label_propagation_majority, label_propagation_min
 from graphblast_spark.algorithms.tc import triangle_count
 from graphblast_spark.algorithms.bfs import bfs
 from graphblast_spark.algorithms.sssp import sssp
+from graphblast_spark.algorithms.mis import mis
+from graphblast_spark.algorithms.gc import graph_coloring
+from graphblast_spark.algorithms.lgc import lgc
+from graphblast_spark.algorithms.diameter import diameter, multi_source_bfs
 
 __all__ = [
     "pagerank",
+    "pagerank_prep",
     "connected_components",
     "label_propagation_majority",
     "label_propagation_min",
     "triangle_count",
     "bfs",
     "sssp",
+    "mis",
+    "graph_coloring",
+    "lgc",
+    "diameter",
+    "multi_source_bfs",
 ]

@@ -1,0 +1,90 @@
+"""Diameter estimation — batched multi-source BFS.
+
+Reference: graphblas/algorithm/diameter.hpp:14-53 — run BFS from each
+vertex in a range of sources, track the max depth reached.
+
+Spark-first reframe: instead of the reference's sequential per-source
+loop, ALL sources advance together in one superstep loop — the
+frontier is keyed by (root, id) so a single join per level serves
+every BFS at once (one job per *level*, not per source×level; at 1000
+executors the per-job latency is the scarce resource, not the join
+width). This is the standard multi-source BFS trick the reference
+can't express with a single Vector.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
+from graphblast_spark.matrix import Graph
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+
+
+def multi_source_bfs(
+    g: Graph,
+    sources,
+    desc: Descriptor = DEFAULT_DESC,
+    runner: SuperstepRunner | None = None,
+):
+    """BFS from every id in ``sources`` (an iterable of vertex ids).
+    Returns (root long, id long, depth long) — sparse: unreached
+    (root, id) pairs have no row."""
+    spark = g.edges.sparkSession
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in sources], "root long"
+    )
+
+    def init():
+        seed = src_df.select("root", F.col("root").alias("id"),
+                             F.lit(0).cast("long").alias("depth"))
+        return {"visited": seed, "frontier": seed.select("root", "id")}
+
+    state, start_iter, scalars = runner.resume_or_init(init)
+    visited, frontier = state["visited"], state["frontier"]
+    frontier_n = int(scalars.get("frontier_n", src_df.count()))
+
+    with stable_partitions(spark):
+        for it in range(start_iter, desc.max_niter):
+            if frontier_n == 0:
+                break
+            t0 = time.time()
+            fr = F.broadcast(frontier) if frontier_n <= 1_000_000 else frontier
+            nxt = (
+                g.edges.join(fr, on=g.edges["src"] == fr["id"], how="inner")
+                .select("root", F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, on=["root", "id"], how="left_anti")
+                .withColumn("depth", F.lit(it + 1).cast("long"))
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            frontier_n = nxt.count()
+            visited = visited.unionByName(nxt)
+            frontier = nxt.select("root", "id")
+            state = runner.truncate({"visited": visited, "frontier": frontier})
+            visited, frontier = state["visited"], state["frontier"]
+            runner.commit(
+                it, state, scalars={"frontier_n": frontier_n},
+                metrics={"ms": (time.time() - t0) * 1000.0, "frontier": frontier_n},
+            )
+    return visited
+
+
+def diameter(
+    g: Graph,
+    n_sources: int | None = None,
+    desc: Descriptor = DEFAULT_DESC,
+) -> int:
+    """Max BFS depth over the first ``n_sources`` vertex ids (the
+    reference sweeps a source range, diameter.hpp:30-49; exact diameter
+    when n_sources covers all vertices)."""
+    ids = [r["id"] for r in
+           g.vertices.orderBy("id").limit(n_sources or g.n).collect()]
+    visited = multi_source_bfs(g, ids, desc=desc)
+    row = visited.agg(F.max("depth").alias("d")).first()
+    return int(row["d"]) if row["d"] is not None else 0

