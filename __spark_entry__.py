@@ -25,7 +25,11 @@ from graphblast_spark import Descriptor, Graph
 from graphblast_spark.algorithms import (
     bfs,
     connected_components,
+    graph_coloring,
     label_propagation_majority,
+    lgc,
+    mis,
+    multi_source_bfs,
     pagerank,
     sssp,
     triangle_count,
@@ -198,6 +202,39 @@ def _min_part(spark, sf_dir) -> int:
     ).first()[0]
 
 
+def q_g_mis(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return mis(g, fixed_rounds=10).select("id", F.col("in_mis").cast("long").alias("in_mis"))
+
+
+def q_g_coloring(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return graph_coloring(g, fixed_rounds=4).select(
+        "id", F.col("color").cast("long").alias("color")
+    )
+
+
+def q_g_lgc(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    src = _min_part(spark, sf_dir)
+    return lgc(g, source=src, alpha=0.15, eps=1e-6, fixed_iters=4).select(
+        "id", F.round("p", 6).alias("p")
+    )
+
+
+def q_g_msbfs(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    srcs = [r["id"] for r in g.vertices.orderBy("id").limit(4).collect()]
+    return multi_source_bfs(g, srcs).select("root", "id", "depth")
+
+
+def q_g_diameter(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    srcs = [r["id"] for r in g.vertices.orderBy("id").limit(4).collect()]
+    visited = multi_source_bfs(g, srcs)
+    return visited.agg(F.max("depth").cast("long").alias("diameter"))
+
+
 def q_g_bfs(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     src = _min_part(spark, sf_dir)
@@ -325,6 +362,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_lp_majority": q_g_lp_majority,
         "g_bfs": q_g_bfs,
         "g_sssp": q_g_sssp,
+        "g_mis": q_g_mis,
+        "g_coloring": q_g_coloring,
+        "g_lgc": q_g_lgc,
+        "g_msbfs": q_g_msbfs,
+        "g_diameter": q_g_diameter,
         "d_token_count": q_d_token_count,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
@@ -455,6 +497,117 @@ _SQL_COSINE = """
 round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
       / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)
+"""
+
+
+# LCG weight shared by the MIS / coloring oracles (must stay in lockstep
+# with graphblast_spark/algorithms/mis.py lcg_weight — an injective map on
+# the Mersenne prime 2^31−1, so no ties).
+_SQL_LCG_W = "(id * 1103515245 + 12345) % 2147483647 + 1"
+
+# Materialized variants for the unrolled iterative oracles: DuckDB
+# inlines plain CTEs, so a 10-round unrolling would rescan the lineitem
+# self-join ~20× and exhaust file handles.
+_EDGES_MAT = f"edges AS MATERIALIZED ({SQL_COPURCHASE_EDGES})"
+_VERTICES_MAT = f"vertices AS MATERIALIZED ({SQL_COPURCHASE_VERTICES})"
+
+
+def _sql_mis(rounds: int = 10) -> str:
+    """Luby MIS (mis.hpp:23-141 loop) unrolled to a fixed round count —
+    identical rounds to the Spark side's ``mis(fixed_rounds=rounds)``."""
+    parts = [
+        f"w0 AS MATERIALIZED (SELECT id, {_SQL_LCG_W} AS w FROM vertices)",
+        "cand0 AS MATERIALIZED (SELECT id, w FROM w0)",
+        "mis0 AS MATERIALIZED (SELECT id FROM vertices WHERE 1=0)",
+    ]
+    for k in range(rounds):
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, max(c.w) AS m FROM edges e "
+            f"JOIN cand{k} c ON e.src = c.id GROUP BY e.dst)",
+            f"win{k} AS MATERIALIZED (SELECT c.id FROM cand{k} c LEFT JOIN m{k} ON c.id = m{k}.id "
+            f"WHERE m{k}.m IS NULL OR c.w > m{k}.m)",
+            f"mis{k + 1} AS MATERIALIZED (SELECT id FROM mis{k} UNION ALL SELECT id FROM win{k})",
+            f"nbr{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM edges e "
+            f"JOIN win{k} wk ON e.src = wk.id)",
+            f"cand{k + 1} AS MATERIALIZED (SELECT c.id, c.w FROM cand{k} c "
+            f"LEFT JOIN win{k} w2 ON c.id = w2.id "
+            f"LEFT JOIN nbr{k} nb ON c.id = nb.id "
+            f"WHERE w2.id IS NULL AND nb.id IS NULL)",
+        ]
+    return (
+        f"WITH {_EDGES_MAT}, {_VERTICES_MAT},\n" + ",\n".join(parts) +
+        f"\nSELECT v.id, CAST(CASE WHEN mm.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_mis"
+        f"\nFROM vertices v LEFT JOIN mis{rounds} mm ON v.id = mm.id"
+    )
+
+
+def _sql_coloring(rounds: int = 4) -> str:
+    """Greedy-IS coloring (gc.hpp:16-150) unrolled; color = 1-based
+    round, 0 = still uncolored after ``rounds``."""
+    parts = [
+        f"w0 AS MATERIALIZED (SELECT id, {_SQL_LCG_W} AS w FROM vertices)",
+        "cand0 AS MATERIALIZED (SELECT id, w FROM w0)",
+        "col0 AS MATERIALIZED (SELECT id, 0 AS color FROM vertices WHERE 1=0)",
+    ]
+    for k in range(rounds):
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, max(c.w) AS m FROM edges e "
+            f"JOIN cand{k} c ON e.src = c.id GROUP BY e.dst)",
+            f"win{k} AS MATERIALIZED (SELECT c.id FROM cand{k} c LEFT JOIN m{k} ON c.id = m{k}.id "
+            f"WHERE m{k}.m IS NULL OR c.w > m{k}.m)",
+            f"col{k + 1} AS MATERIALIZED (SELECT id, color FROM col{k} "
+            f"UNION ALL SELECT id, {k + 1} AS color FROM win{k})",
+            f"cand{k + 1} AS MATERIALIZED (SELECT c.id, c.w FROM cand{k} c "
+            f"LEFT JOIN win{k} w2 ON c.id = w2.id WHERE w2.id IS NULL)",
+        ]
+    return (
+        f"WITH {_EDGES_MAT}, {_VERTICES_MAT},\n" + ",\n".join(parts) +
+        f"\nSELECT v.id, CAST(coalesce(cc.color, 0) AS BIGINT) AS color"
+        f"\nFROM vertices v LEFT JOIN col{rounds} cc ON v.id = cc.id"
+    )
+
+
+def _sql_lgc(iters: int = 4, alpha: float = 0.15, eps: float = 1e-6) -> str:
+    """ACL push (lgc.hpp:106-134) unrolled to a fixed superstep count,
+    float64 throughout, matching ``lgc(fixed_iters=iters)``."""
+    half = "CAST((1.0 - {a})/2.0 AS DOUBLE)".format(a=alpha)
+    parts = [
+        "deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT (SELECT min(l_partkey) FROM lineitem) AS id, CAST(1.0 AS DOUBLE) AS r)",
+        "p0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS p WHERE 1=0)",
+    ]
+    for k in range(iters):
+        parts += [
+            f"f{k} AS MATERIALIZED (SELECT r.id, r.r, coalesce(g.d, CAST(0.0 AS DOUBLE)) AS d "
+            f"FROM r{k} r LEFT JOIN deg g ON r.id = g.id "
+            f"WHERE r.r > coalesce(g.d, CAST(0.0 AS DOUBLE)) * CAST({eps} AS DOUBLE))",
+            f"p{k + 1} AS MATERIALIZED (SELECT coalesce(p.id, f.id) AS id, "
+            f"coalesce(p.p, CAST(0.0 AS DOUBLE)) + CAST({alpha} AS DOUBLE) * coalesce(f.r, CAST(0.0 AS DOUBLE)) AS p "
+            f"FROM p{k} p FULL JOIN f{k} f ON p.id = f.id)",
+            f"push{k} AS MATERIALIZED (SELECT id, {half} * r / d AS r2 FROM f{k} WHERE d > 0)",
+            f"spread{k} AS MATERIALIZED (SELECT e.dst AS id, sum(ps.r2 * CAST(1.0 AS DOUBLE)) AS dr "
+            f"FROM edges e JOIN push{k} ps ON e.src = ps.id GROUP BY e.dst)",
+            f"rk{k} AS MATERIALIZED (SELECT r.id, r.r FROM r{k} r LEFT JOIN f{k} f ON r.id = f.id "
+            f"WHERE f.id IS NULL UNION ALL SELECT id, {half} * r AS r FROM f{k})",
+            f"r{k + 1} AS MATERIALIZED (SELECT coalesce(a.id, s.id) AS id, "
+            f"coalesce(a.r, CAST(0.0 AS DOUBLE)) + coalesce(s.dr, CAST(0.0 AS DOUBLE)) AS r "
+            f"FROM rk{k} a FULL JOIN spread{k} s ON a.id = s.id)",
+        ]
+    return (
+        f"WITH {_EDGES_MAT},\n" + ",\n".join(parts) +
+        f"\nSELECT id, round(p, 6) AS p FROM p{iters} WHERE p > 0"
+    )
+
+
+_SQL_MSBFS_BODY = """
+srcs AS (SELECT id FROM vertices ORDER BY id LIMIT 4),
+b(root, id, depth) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT b.root, e.dst, b.depth + 1
+  FROM b JOIN edges e ON b.id = e.src AND b.depth < 50
+),
+lv AS (SELECT root, id, CAST(min(depth) AS BIGINT) AS depth FROM b GROUP BY root, id)
 """
 
 
@@ -608,6 +761,15 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.iter, e.dst
             )
             SELECT id, round(min(dist), 6) AS dist FROM d GROUP BY id""",
+        "g_mis": _sql_mis(10),
+        "g_coloring": _sql_coloring(4),
+        "g_lgc": _sql_lgc(4),
+        "g_msbfs": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},{_SQL_MSBFS_BODY}
+            SELECT root, id, depth FROM lv""",
+        "g_diameter": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},{_SQL_MSBFS_BODY}
+            SELECT CAST(max(depth) AS BIGINT) AS diameter FROM lv""",
         "d_token_count": rf"""
             WITH {_TOKS},
             bpe AS (
