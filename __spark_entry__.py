@@ -222,6 +222,36 @@ def q_g_lgc(spark, sf_dir):
     )
 
 
+def _assets(spark, sf_dir):
+    """Deterministic multimodal asset table derived from documents:
+    payload = utf-8 text bytes (an opaque binary stand-in both engines
+    can derive identically)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(8).alias("width"), F.lit(8).alias("height"),
+        F.lit(0).alias("sample_rate"),
+    )
+
+
+def q_m_frame_sample(spark, sf_dir):
+    from graphblast_spark.functions.multimodal import frame_sample
+
+    return frame_sample(_assets(spark, sf_dir), every_n=4).select(
+        "asset_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame"
+    )
+
+
+def q_m_decode_stats(spark, sf_dir):
+    from graphblast_spark.functions.multimodal import decode_stats
+
+    return decode_stats(_assets(spark, sf_dir)).select(
+        "asset_id", "kind", F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
+    )
+
+
 def q_g_msbfs(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     srcs = [r["id"] for r in g.vertices.orderBy("id").limit(4).collect()]
@@ -377,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": q_d_simhash,
         "e_knn_cosine": q_e_knn_cosine,
         "e_ivf_knn": q_e_ivf_knn,
+        "m_frame_sample": q_m_frame_sample,
+        "m_decode_stats": q_m_decode_stats,
         "q_events_window": q_events_window,
         "q_lineitem_agg": q_lineitem_agg,
     }
@@ -761,6 +793,19 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.iter, e.dst
             )
             SELECT id, round(min(dist), 6) AS dist FROM d GROUP BY id""",
+        # frame_sample: every-4th 16-byte slice of the utf-8 payload
+        # (functions/multimodal.py frame_sample, frame_bytes=16). The
+        # synthetic documents are pure ASCII (verified), so byte slices
+        # == char slices and DuckDB can slice the VARCHAR then encode.
+        "m_frame_sample": """
+            WITH ex AS (
+              SELECT doc_id AS asset_id, text,
+                     unnest(generate_series(0, CAST(length(text) // 16 AS INT) - 1, 4)) AS i
+              FROM documents WHERE length(text) >= 16
+            )
+            SELECT asset_id, CAST(i AS BIGINT) AS frame_idx,
+                   encode(substring(text, CAST(i AS INT) * 16 + 1, 16)) AS frame
+            FROM ex""",
         "g_mis": _sql_mis(10),
         "g_coloring": _sql_coloring(4),
         "g_lgc": _sql_lgc(4),

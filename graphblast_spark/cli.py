@@ -1,0 +1,152 @@
+"""spark-submit entry points — the engine's analog of the reference's
+example binaries (bin/gpr, bin/gbfs, …) and their CLI surface
+(util.hpp:39-132 parseArgs: --max_niter, --niter, --source, --seed,
+--directed, --switchpoint, --mxvmode, --timing).
+
+Usage (cluster or local):
+
+    spark-submit --py-files graphblast_spark.zip -m graphblast_spark.cli \
+        pr --edges /data/edges.parquet --output /out/pr --max-niter 10
+
+or, during development::
+
+    python -m graphblast_spark.cli pr --fixture chesapeake
+
+The edge input is any parquet with (src long, dst long[, val double]);
+``--pages`` instead runs the full north-rule path: pages table →
+distill → Graph → algorithm.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_graph(spark, args):
+    from pyspark.sql import functions as F
+
+    from graphblast_spark.matrix import Graph
+
+    if args.fixture:
+        from graphblast_spark.sources.mtx import fixture_graph
+
+        return fixture_graph(spark, args.fixture, directed=args.directed)
+    if args.pages:
+        from graphblast_spark.sources.distill import distill_edges
+
+        pages = spark.read.parquet(args.pages)
+        edges, urlmap = distill_edges(pages)
+        vertices = urlmap.select("id")
+        return Graph.build(edges, vertices=vertices,
+                           symmetrize=args.directed == 2)
+    if args.rmat is not None:
+        from graphblast_spark.sources.rmat import rmat_edges, rmat_vertices
+
+        return Graph.build(
+            rmat_edges(spark, scale=args.rmat, seed=args.seed),
+            vertices=rmat_vertices(spark, args.rmat),
+            symmetrize=args.directed == 2,
+        )
+    edges = spark.read.parquet(args.edges)
+    if "val" not in edges.columns:
+        edges = edges.withColumn("val", F.lit(1.0))
+    return Graph.build(edges, symmetrize=args.directed == 2)
+
+
+def _write(df, args, default_name):
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(20, truncate=False)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="graphblast_spark")
+    p.add_argument("algorithm",
+                   choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
+                            "gc", "lgc", "diameter"])
+    p.add_argument("--edges", help="parquet edge table (src,dst[,val])")
+    p.add_argument("--pages", help="pages-schema parquet (north-rule input)")
+    p.add_argument("--fixture", help="named reference fixture graph")
+    p.add_argument("--rmat", type=int, help="generate RMAT graph of this scale")
+    p.add_argument("--output", help="output parquet path (default: show)")
+    p.add_argument("--source", type=int, default=0, help="bfs/sssp/lgc source")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--directed", type=int, default=1, choices=[1, 2],
+                   help="2 = symmetrize (reference --directed 2)")
+    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--max-niter", type=int, default=100)
+    p.add_argument("--niter", type=int, default=None,
+                   help="fixed iteration count (skip convergence checks)")
+    p.add_argument("--switchpoint", type=float, default=0.01)
+    p.add_argument("--run-dir", help="checkpoint/metrics dir (resumable)")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from graphblast_spark import get_spark
+    from graphblast_spark.descriptor import DEFAULT_DESC
+    from graphblast_spark.runtime.superstep import SuperstepRunner
+
+    spark = get_spark(master=args.master,
+                      shuffle_partitions=args.shuffle_partitions,
+                      app_name=f"graphblast_spark:{args.algorithm}")
+    spark.sparkContext.setLogLevel("WARN")
+    desc = DEFAULT_DESC.with_(max_niter=args.max_niter,
+                              switchpoint=args.switchpoint)
+    runner = SuperstepRunner(
+        spark, run_dir=args.run_dir,
+        checkpoint_every=args.checkpoint_every, name=args.algorithm,
+    )
+
+    t0 = time.time()
+    g = _build_graph(spark, args)
+    t_build = time.time() - t0
+
+    from graphblast_spark import algorithms as A
+
+    t0 = time.time()
+    if args.algorithm == "pr":
+        out = A.pagerank(g, alpha=args.alpha, eps=args.eps, desc=desc,
+                         runner=runner, fixed_iters=args.niter)
+    elif args.algorithm == "cc":
+        out = A.connected_components(g, desc=desc, runner=runner)
+    elif args.algorithm == "lp":
+        out = A.label_propagation_majority(g, iters=args.niter or 10)
+    elif args.algorithm == "tc":
+        n_tri = A.triangle_count(g)
+        out = spark.createDataFrame([(n_tri,)], "n_triangles long")
+    elif args.algorithm == "bfs":
+        out = A.bfs(g, source=args.source, desc=desc, runner=runner)
+    elif args.algorithm == "sssp":
+        out = A.sssp(g, source=args.source, desc=desc, runner=runner)
+    elif args.algorithm == "mis":
+        out = A.mis(g, desc=desc, runner=runner)
+    elif args.algorithm == "gc":
+        out = A.graph_coloring(g, desc=desc, runner=runner)
+    elif args.algorithm == "lgc":
+        out = A.lgc(g, source=args.source, alpha=0.15, eps=1e-6,
+                    desc=desc, runner=runner)
+    else:  # diameter
+        d = A.diameter(g, n_sources=min(g.n, 16), desc=desc)
+        out = spark.createDataFrame([(d,)], "diameter long")
+    n_out = out.count()
+    t_algo = time.time() - t0
+
+    _write(out, args, args.algorithm)
+    print(json.dumps({
+        "algorithm": args.algorithm, "n_vertices": g.n, "n_edges": g.nvals,
+        "rows_out": n_out, "build_sec": round(t_build, 3),
+        "algo_sec": round(t_algo, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

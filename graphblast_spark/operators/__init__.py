@@ -1,10 +1,15 @@
-from graphblast_spark.operators.vecmat import vxm, mxv
+from graphblast_spark.operators.vecmat import vxm, mxv, apply_vxm
 from graphblast_spark.operators.ewise import (
     apply_unary,
+    count_unique,
     ewise_add,
     ewise_add_scalar,
     ewise_mult,
+    ewise_mult_matrix_vector,
     ewise_mult_scalar,
+    extract_element,
+    extract_subvector,
+    set_element,
 )
 from graphblast_spark.operators.reduce import (
     reduce_matrix_to_scalar,
@@ -20,8 +25,10 @@ from graphblast_spark.operators.assign import (
 from graphblast_spark.operators.spgemm import mxm_masked, trace_mxm_transpose
 
 __all__ = [
-    "vxm", "mxv",
+    "vxm", "mxv", "apply_vxm",
     "apply_unary", "ewise_add", "ewise_add_scalar", "ewise_mult", "ewise_mult_scalar",
+    "ewise_mult_matrix_vector", "extract_subvector", "set_element",
+    "extract_element", "count_unique",
     "reduce_matrix_to_scalar", "reduce_matrix_to_vector", "reduce_vector_to_scalar",
     "assign_masked_constant", "assign_scatter", "extract_gather", "scatter_constant",
     "mxm_masked", "trace_mxm_transpose",

@@ -93,3 +93,53 @@ def apply_unary(
     deterministic hash: ``lambda c: F.xxhash64(c, F.lit(seed))``."""
     out = u.select("id", fn(F.col("val")).alias("val"))
     return _mask_join(out, mask, mask_complement)
+
+
+def ewise_mult_matrix_vector(
+    g, u: DataFrame, sr: Semiring | str = "PlusMultiplies",
+    axis: str = "col",
+) -> "DataFrame":
+    """Matrix×vector broadcast eWiseMult — A(i,j) ⊗ u(j) (axis='col')
+    or A(i,j) ⊗ u(i) (axis='row'); reference operations.hpp:230-267 →
+    backend eWiseMultColInner/RowInner (the PR A÷outdeg prep,
+    example/gpr.cu:89-90). Returns an edge DataFrame (src, dst, val).
+
+    Physical note: ``u`` is a vertex vector (≪ |E|); Spark's planner
+    broadcasts it under the threshold, else AQE converts at runtime —
+    either way the edge table is NOT shuffled."""
+    sr = _resolve(sr)
+    key = "dst" if axis == "col" else "src"
+    uu = u.select(F.col("id").alias("__uid"), F.col("val").alias("__uval"))
+    return (
+        g.edges.join(uu, on=g.edges[key] == uu["__uid"], how="inner")
+        .select("src", "dst", sr.mul(F.col("val"), F.col("__uval")).alias("val"))
+    )
+
+
+def extract_subvector(u: DataFrame, ids: DataFrame) -> DataFrame:
+    """w = u[indices] — the reference's (unimplemented) extract stubs,
+    operations.hpp:360-410; here a semi-join."""
+    return u.join(ids.select("id"), on="id", how="left_semi")
+
+
+def set_element(u: DataFrame, idx: int, value) -> DataFrame:
+    """Vector::setElement (vector.hpp:132-141) — never a point write:
+    a projection with a conditional, preserving immutability."""
+    return u.select(
+        "id",
+        F.when(F.col("id") == F.lit(idx), F.lit(value)).otherwise(F.col("val")).alias("val"),
+    )
+
+
+def extract_element(u: DataFrame, idx: int):
+    """Vector::extractElement — point lookup (a filter, not a scan at
+    scale when id is the partition key)."""
+    rows = u.filter(F.col("id") == F.lit(idx)).select("val").take(1)
+    return rows[0]["val"] if rows else None
+
+
+def count_unique(u: DataFrame, approx: bool = False):
+    """countUnique (declared-but-stubbed in the reference,
+    vector.hpp:190-194 — implemented here): distinct value count."""
+    agg = F.approx_count_distinct("val") if approx else F.countDistinct("val")
+    return u.agg(agg.alias("n")).first()["n"]

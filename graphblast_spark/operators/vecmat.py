@@ -127,3 +127,21 @@ def mxv(
 ) -> DataFrame:
     """w(src)⟨mask⟩ = ⊕_dst A(src,dst) ⊗ u(dst) — reference operations.hpp:95-127."""
     return _vecmat(u, g, sr, "dst", "src", mask, desc, u_nvals, vec_first=False)
+
+
+def apply_vxm(
+    u: DataFrame,
+    g: Graph,
+    unary: "Callable[[F.Column], F.Column]",
+    sr: Semiring | str = "PlusMultiplies",
+    mask: DataFrame | None = None,
+    desc: Descriptor = DEFAULT_DESC,
+    u_nvals: int | None = None,
+) -> DataFrame:
+    """Fused unary-apply + vxm — reference applyVxm
+    (operations.hpp:835-865 → backend/cuda/operations.hpp:1273-1404)
+    saves a pass by fusing op(u) into the SpMV read; here the fusion is
+    free — composing the Column expression into the same projection
+    lets whole-stage codegen emit one loop."""
+    fused = u.select("id", unary(F.col("val")).alias("val"))
+    return vxm(fused, g, sr, mask=mask, desc=desc, u_nvals=u_nvals)

@@ -1,0 +1,88 @@
+"""Plan-shape regression tests: the physical plans the engine relies on
+for scale must stay the plans we designed (SURVEY §4 dispositions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphblast_spark.descriptor import Descriptor, MxvMode
+from graphblast_spark.operators import vxm
+from graphblast_spark.plans import (
+    count_exchanges,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+    has_whole_stage_codegen,
+)
+from graphblast_spark.sources.mtx import fixture_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_push_vxm_broadcasts_frontier(spark):
+    """Sparse frontier → broadcast hash join (the SpMSpV push path,
+    reference backend/cuda/operations.hpp:131-140)."""
+    g = fixture_graph(spark, "chesapeake")
+    frontier = g.vertices.limit(1).select("id", F.lit(1.0).alias("val"))
+    # 1/39 vertices is above the 0.01 switchpoint, so pin PUSHONLY (the
+    # --mxvmode 1 analog); the density-based dispatch is covered below.
+    out = vxm(frontier, g, "PlusMultiplies", u_nvals=1,
+              desc=Descriptor(mxv_mode=MxvMode.PUSHONLY))
+    assert "BroadcastHashJoin" in join_strategies(out)
+    # density dispatch: frontier/n above switchpoint → NOT broadcast
+    out2 = vxm(frontier, g, "PlusMultiplies", u_nvals=1)
+    assert "BroadcastHashJoin" not in join_strategies(out2)
+    # ...but below it → broadcast
+    out3 = vxm(frontier, g, "PlusMultiplies", u_nvals=1,
+               desc=Descriptor(switchpoint=0.1))
+    assert "BroadcastHashJoin" in join_strategies(out3)
+    g.unpersist()
+
+
+def test_pull_vxm_uses_shuffled_hash_not_sort_merge(spark):
+    """Dense vector → shuffle join, but hash not sort-merge: re-sorting
+    |E| rows per superstep is the regression this test pins down."""
+    g = fixture_graph(spark, "chesapeake")
+    u = g.vertices.select("id", F.lit(1.0).alias("val"))
+    out = vxm(u, g, "PlusMultiplies", u_nvals=g.n,
+              desc=Descriptor(mxv_mode=MxvMode.PULLONLY))
+    js = join_strategies(out)
+    assert "SortMergeJoin" not in js, js
+    g.unpersist()
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    q.collect()  # finalize AQE plan
+    assert any("lang" in f for f in pushed_filters(q)), pushed_filters(q)
+    schemas = read_schemas(q)
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_aggregation_stays_in_codegen(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    q.collect()
+    assert has_whole_stage_codegen(q)
+
+
+def test_vecmat_single_aggregation_exchange_budget(spark):
+    """The vecmat join+agg must not exceed 3 shuffles (edge side, vector
+    side, group key) — extra exchanges mean a partitioning regression.
+    Built from bare uncached DataFrames so the counted plan contains
+    only vecmat's own exchanges (a persisted Graph's InMemoryRelation
+    embeds its build-time plan in toString, inflating the count)."""
+    from graphblast_spark.matrix import Graph
+
+    edges = spark.range(200).select(
+        (F.col("id") % 20).alias("src"), (F.col("id") % 31).alias("dst"),
+        F.lit(1.0).alias("val"))
+    vertices = spark.range(31).select("id")
+    g = Graph(edges=edges, vertices=vertices, n=31, nvals=200)
+    u = vertices.select("id", F.lit(1.0).alias("val"))
+    out = vxm(u, g, "PlusMultiplies", u_nvals=31,
+              desc=Descriptor(mxv_mode=MxvMode.PULLONLY))
+    out.collect()
+    assert count_exchanges(out) <= 3, count_exchanges(out)
