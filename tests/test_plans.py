@@ -53,6 +53,9 @@ def test_pull_vxm_uses_shuffled_hash_not_sort_merge(spark):
 
 
 def test_parquet_filter_pushdown_and_column_pruning(spark):
+    # a cached documents DF from an earlier test would substitute an
+    # InMemoryTableScan for the parquet scan, hiding PushedFilters
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
     q.collect()  # finalize AQE plan
