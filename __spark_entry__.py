@@ -60,7 +60,12 @@ from graphblast_spark.sources.tpch_graphs import (
 # ----------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the test corpus is one parquet file → one input partition; spread
+    # it so document pipelines use the full core count (a production
+    # corpus arrives in thousands of files and skips this)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,10 +447,20 @@ sh AS (
 
 
 def _sql_minhash_sig(k: int = 8) -> str:
+    """Mirror of functions/dedup.py minhash_signature: base hash =
+    first-60-md5-bits mod P, then k affine permutations (a_j·h+b_j)%P
+    with minhash_params coefficients."""
+    from graphblast_spark.functions.dedup import MINHASH_P, minhash_params
+
     mins = ",\n    ".join(
-        f"list_min(list_transform(s, x -> md5(x || '|{j}')))" for j in range(k)
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(k)
     )
-    return f"sig AS (\n  SELECT doc_id, [{mins}] AS sg FROM sh\n)"
+    return (
+        "hsx AS (\n  SELECT doc_id, list_transform(s, x -> "
+        f"CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % {MINHASH_P}) AS hs FROM sh\n),\n"
+        f"sig AS (\n  SELECT doc_id, [{mins}] AS sg FROM hsx\n)"
+    )
 
 
 def _sql_lsh_pairs(bands: int = 4, rows: int = 2) -> str:
@@ -453,7 +468,7 @@ def _sql_lsh_pairs(bands: int = 4, rows: int = 2) -> str:
     return f"""
 banded AS (
   SELECT doc_id, b.band AS band,
-         md5(array_to_string(sg[b.band*{rows}+1 : b.band*{rows}+{rows}], ',')) AS bkey
+         array_to_string(sg[b.band*{rows}+1 : b.band*{rows}+{rows}], ',') AS bkey
   FROM sig, (VALUES {band_rows}) b(band)
 ),
 cand AS (

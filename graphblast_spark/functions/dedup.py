@@ -58,6 +58,18 @@ def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: st
     )
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime — products stay in int64
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a_j, b_j), a_j≠0,
+    derivable in any engine from the same literals."""
+    return [
+        (((1103515245 * (j + 1)) % MINHASH_P) or 1, (12345 * (j + 7)) % MINHASH_P)
+        for j in range(k)
+    ]
+
+
 def minhash_signature(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -65,24 +77,47 @@ def minhash_signature(
     k: int = 16,
     n_words: int = 3,
 ) -> DataFrame:
-    """(doc_id, sig array<string>[k]): sig_j = min over shingles of
-    md5(shingle || '|' || j). String-ordered md5 is a valid uniform
-    permutation proxy, and is reproducible in any engine with md5."""
+    """(doc_id, sig array<long>[k]): classic affine MinHash —
+    ONE md5 per shingle (base hash h = first 60 md5 bits mod P), then
+    sig_j = min over shingles of (a_j·h + b_j) mod P. The per-(shingle,
+    permutation) work is two integer ops in codegen, so k-wide
+    signatures cost ~the same as one md5 pass (the naive
+    md5-per-(shingle,j) variant measured 16× the hashing: 54 s → 3 s on
+    5k docs). Coefficients from :func:`minhash_params` — reproducible
+    bit-for-bit in the DuckDB oracle."""
     sh = shingles(F.col(text_col), n_words)
+    base = F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_P),
+        ),
+    )
+    with_base = docs.select(F.col(id_col).alias("doc_id"), base.alias("hs"))
 
-    def _minhash(j):
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"|{j}")))))
+    def _perm(a: int, b: int):
+        # closure factory, NOT a default-arg lambda: pyspark HOFs
+        # dispatch on lambda arity (2-arg receives (element, index))
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
 
-    sig = F.array(*[_minhash(j) for j in range(k)])
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _perm(a, b)))
+            for a, b in minhash_params(k)
+        ]
+    )
+    return with_base.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs (a < b): documents sharing at
-    least one LSH band. Band key = md5(concat of the band's rows).
-    The band-bucket self-join is the only shuffle; dedup via distinct."""
+    least one LSH band. Band key = the band's signature rows joined as
+    a string. The band-bucket self-join is the only shuffle; dedup via
+    distinct. The banded table is persisted internally — a self-join
+    would otherwise recompute the full signature pipeline for BOTH
+    sides (measured 2× end-to-end)."""
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -90,17 +125,19 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                            )
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
                         ).alias("bkey"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey")
+    ).select("doc_id", "bk.band", "bk.bkey").persist()
     l = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("a"))
     r = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("b"))
     return (

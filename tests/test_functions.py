@@ -106,8 +106,14 @@ def test_minhash_signature_matches_duckdb(spark, docs):
     pdf = sub.toPandas()
     con = duckdb.connect()
     con.register("d", pdf)
+    from graphblast_spark.functions.dedup import MINHASH_P, minhash_params
+
+    mins = ",\n                ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(4)
+    )
     oracle = con.sql(
-        """
+        f"""
         with toks as (
           select doc_id,
                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') t
@@ -119,13 +125,13 @@ def test_minhash_signature_matches_duckdb(spark, docs):
                                        i -> array_to_string(t[i:i+2], ' '))
                    else [array_to_string(t, ' ')] end) s
           from toks
+        ), hsx as (
+          select doc_id,
+                 list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % {MINHASH_P}) hs
+          from sh
         )
-        select doc_id,
-               [list_min(list_transform(s, x -> md5(x || '|0'))),
-                list_min(list_transform(s, x -> md5(x || '|1'))),
-                list_min(list_transform(s, x -> md5(x || '|2'))),
-                list_min(list_transform(s, x -> md5(x || '|3')))] sig
-        from sh
+        select doc_id, [{mins}] sig
+        from hsx
         """
     ).fetchall()
     for doc_id, sig in oracle:
