@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
 from graphblast_spark.operators.assign import extract_gather
-from graphblast_spark.runtime.superstep import SuperstepRunner
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
 
 
 def connected_components(
@@ -48,9 +48,14 @@ def connected_components(
     # the min aggregate, so skip the dedup shuffle (cf. util.hpp:263-329
     # which dedups at build — our build already deduped (src,dst)).
     e = g.edges.select("src", "dst")
-    e_sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pin layout on dst — the hook join's edge-side key — so only the
+    # (small) parent table shuffles each superstep
+    e_sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_part, "dst")
+        .persist()
+    )
     e_sym.count()
 
     if runner is None:
@@ -62,13 +67,17 @@ def connected_components(
     state, start_iter, _ = runner.resume_or_init(init)
     parent = state["parent"]
 
+    loop_cm = stable_partitions(spark)
+    loop_cm.__enter__()
     for it in range(start_iter, desc.max_niter):
         t0 = time.time()
-        # (1) hooking: min neighbor parent (cc.hpp:78 MinimumSelectSecond vxm)
+        # (1) hooking: min neighbor parent (cc.hpp:78 MinimumSelectSecond
+        # vxm); shuffle-hash: probe persisted edges, build from parent
+        p = parent.hint("shuffle_hash")
         nbr_min = (
-            e_sym.join(parent, on=e_sym["dst"] == parent["id"], how="inner")
+            e_sym.join(p, on=e_sym["dst"] == p["id"], how="inner")
             .groupBy(e_sym["src"].alias("id"))
-            .agg(F.min(parent["val"]).alias("nmin"))
+            .agg(F.min(p["val"]).alias("nmin"))
         )
         hooked = (
             parent.join(nbr_min, on="id", how="left")
@@ -93,6 +102,7 @@ def connected_components(
         parent = state["parent"]
         if changed == 0:
             break
+    loop_cm.__exit__(None, None, None)
 
     e_sym.unpersist()
     return parent.select("id", F.col("val").alias("component"))

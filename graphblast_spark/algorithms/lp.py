@@ -31,17 +31,20 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
 
 
 def _sym(g: Graph) -> DataFrame:
     # Deduped symmetrized view: when both (a,b) and (b,a) existed in the
     # directed input, the mirrored union would double them — harmless
     # under min (CC) but it corrupts majority VOTE COUNTS, so dedup here.
+    # Layout pinned on dst (the per-superstep join key) so only the
+    # small label table shuffles each iteration.
     e = g.edges.select("src", "dst")
+    n_part = int(g.edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().repartition(n_part, "dst")
 
 
 def label_propagation_min(
@@ -61,12 +64,15 @@ def label_propagation_min(
         lambda: {"labels": g.vertices.select("id", F.col("id").alias("val"))}
     )
     labels = state["labels"]
+    loop_cm = stable_partitions(spark)
+    loop_cm.__enter__()
     for it in range(start_iter, desc.max_niter):
         t0 = time.time()
+        lb = labels.hint("shuffle_hash")
         nbr = (
-            e_sym.join(labels, on=e_sym["dst"] == labels["id"])
+            e_sym.join(lb, on=e_sym["dst"] == lb["id"])
             .groupBy(e_sym["src"].alias("id"))
-            .agg(F.min(labels["val"]).alias("nmin"))
+            .agg(F.min(lb["val"]).alias("nmin"))
         )
         new_labels = labels.join(nbr, on="id", how="left").select(
             "id", F.least(F.col("val"), F.coalesce("nmin", "val")).alias("val")
@@ -82,6 +88,7 @@ def label_propagation_min(
         labels = state["labels"]
         if changed == 0:
             break
+    loop_cm.__exit__(None, None, None)
     e_sym.unpersist()
     return labels.select("id", F.col("val").alias("label"))
 
@@ -104,11 +111,14 @@ def label_propagation_majority(
     )
     labels = state["labels"]
     win = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    loop_cm = stable_partitions(spark)
+    loop_cm.__enter__()
     for it in range(start_iter, iters):
         t0 = time.time()
+        lb = labels.hint("shuffle_hash")
         votes = (
-            e_sym.join(labels, on=e_sym["dst"] == labels["id"])
-            .groupBy(e_sym["src"].alias("id"), labels["val"].alias("lbl"))
+            e_sym.join(lb, on=e_sym["dst"] == lb["id"])
+            .groupBy(e_sym["src"].alias("id"), lb["val"].alias("lbl"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         winner = (
@@ -121,5 +131,6 @@ def label_propagation_majority(
         ).localCheckpoint(eager=True)
         state = runner.commit(it, {"labels": new_labels}, metrics={"ms": (time.time() - t0) * 1000.0})
         labels = state["labels"]
+    loop_cm.__exit__(None, None, None)
     e_sym.unpersist()
     return labels.select("id", F.col("val").alias("label"))
