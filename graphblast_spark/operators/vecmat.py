@@ -64,6 +64,7 @@ def _vecmat(
     desc: Descriptor,
     u_nvals: int | None,
     vec_first: bool,
+    salt: int | None = None,
 ) -> DataFrame:
     sr = _resolve(sr)
     edges = g.edges
@@ -97,11 +98,25 @@ def _vecmat(
             prod = sr.mul(frontier["val"], edges["val"]).alias("p")
         else:
             prod = sr.mul(edges["val"], frontier["val"]).alias("p")
-        out = (
-            joined.select(out_col, prod)
-            .groupBy("id")
-            .agg(sr.add_agg(F.col("p")).alias("val"))
-        )
+        rows = joined.select(out_col, prod)
+        if salt and salt > 1:
+            # Explicit hub salting (the merge-path load-balance analog,
+            # reference spmspv_inner.hpp:62-320 / SURVEY §4.7): a
+            # power-law hub key's entire reduce lands on one task;
+            # salting splits it into `salt` sub-keys reduced in phase 1,
+            # then a tiny phase-2 combine per real key. Valid for any
+            # associative ⊕ (every registered monoid is). Spark's
+            # map-side partial agg already absorbs moderate skew —
+            # reach for this when a single key's post-partial volume
+            # still exceeds one task (e.g. dst hubs with >10^8 edges).
+            partial = (
+                rows.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
+                .groupBy("id", "_salt")
+                .agg(sr.add_agg(F.col("p")).alias("p"))
+            )
+            out = partial.groupBy("id").agg(sr.add_agg(F.col("p")).alias("val"))
+        else:
+            out = rows.groupBy("id").agg(sr.add_agg(F.col("p")).alias("val"))
     return _apply_mask(out, mask, desc.mask_complement)
 
 
@@ -112,9 +127,11 @@ def vxm(
     mask: DataFrame | None = None,
     desc: Descriptor = DEFAULT_DESC,
     u_nvals: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
-    """w(dst)⟨mask⟩ = ⊕_src u(src) ⊗ A(src,dst) — reference operations.hpp:51-87."""
-    return _vecmat(u, g, sr, "src", "dst", mask, desc, u_nvals, vec_first=True)
+    """w(dst)⟨mask⟩ = ⊕_src u(src) ⊗ A(src,dst) — reference operations.hpp:51-87.
+    ``salt``: two-phase salted reduce for extreme hub keys (see _vecmat)."""
+    return _vecmat(u, g, sr, "src", "dst", mask, desc, u_nvals, vec_first=True, salt=salt)
 
 
 def mxv(
@@ -124,9 +141,10 @@ def mxv(
     mask: DataFrame | None = None,
     desc: Descriptor = DEFAULT_DESC,
     u_nvals: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """w(src)⟨mask⟩ = ⊕_dst A(src,dst) ⊗ u(dst) — reference operations.hpp:95-127."""
-    return _vecmat(u, g, sr, "dst", "src", mask, desc, u_nvals, vec_first=False)
+    return _vecmat(u, g, sr, "dst", "src", mask, desc, u_nvals, vec_first=False, salt=salt)
 
 
 def apply_vxm(

@@ -65,3 +65,17 @@ def test_extract_set_element_count_unique(spark, ches):
     assert extract_element(u, 10**9) is None
     assert count_unique(u) == 3
     assert count_unique(u2) == 4
+
+
+def test_salted_vecmat_equals_unsalted(spark, ches):
+    """Two-phase salted reduce (skew handling) must be value-identical
+    for min/max and allclose for sums."""
+    u = ches.vertices.select("id", ((F.col("id") % 7) + 1).cast("double").alias("val"))
+    plain = {r["id"]: r["val"] for r in vxm(u, ches, "PlusMultiplies", u_nvals=ches.n).collect()}
+    salted = {r["id"]: r["val"] for r in vxm(u, ches, "PlusMultiplies", u_nvals=ches.n, salt=4).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert salted[k] == pytest.approx(plain[k], rel=1e-12)
+    pm = {r["id"]: r["val"] for r in vxm(u, ches, "MinimumPlus", u_nvals=ches.n, salt=8).collect()}
+    pn = {r["id"]: r["val"] for r in vxm(u, ches, "MinimumPlus", u_nvals=ches.n).collect()}
+    assert pm == pn
