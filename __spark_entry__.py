@@ -27,6 +27,7 @@ from graphblast_spark.algorithms import (
     connected_components,
     graph_coloring,
     label_propagation_majority,
+    label_propagation_min,
     lgc,
     mis,
     multi_source_bfs,
@@ -199,6 +200,11 @@ def q_g_cc(spark, sf_dir):
 def q_g_lp_majority(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     return label_propagation_majority(g, iters=5).select("id", "label")
+
+
+def q_g_lp_min(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return label_propagation_min(g).select("id", "label")
 
 
 def _min_part(spark, sf_dir) -> int:
@@ -395,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank_dangling": q_g_pagerank_dangling,
         "g_cc": q_g_cc,
         "g_lp_majority": q_g_lp_majority,
+        "g_lp_min": q_g_lp_min,
         "g_bfs": q_g_bfs,
         "g_sssp": q_g_sssp,
         "g_mis": q_g_mis,
@@ -767,6 +774,22 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.iter, e.src
             )
             SELECT id, l AS component FROM lbl WHERE iter = 40""",
+        "g_lp_min": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            ea AS (
+              SELECT src, dst FROM edges
+              UNION ALL
+              SELECT id, id FROM vertices
+            ),
+            lbl(iter, id, l) AS (
+              SELECT 0, id, id FROM vertices
+              UNION ALL
+              SELECT p.iter + 1, e.src, min(p.l)
+              FROM lbl p JOIN ea e ON p.id = e.dst
+              WHERE p.iter < 40
+              GROUP BY p.iter, e.src
+            )
+            SELECT id, l AS label FROM lbl WHERE iter = 40""",
         "g_lp_majority": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},
             ew AS (
