@@ -87,20 +87,21 @@ def connected_components(
         new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
         new_parent = new_parent.localCheckpoint(eager=True)
 
-        # (3) convergence: any parent changed? (cc.hpp:102-104
-        # MinimumNotEqualTo reduce — here a changed-row count)
-        changed = (
-            new_parent.alias("n")
-            .join(parent.alias("o"), on="id")
-            .filter(F.col("n.val") != F.col("o.val"))
-            .count()
-        )
+        # (3) convergence (cc.hpp:102-104 MinimumNotEqualTo reduce).
+        # Labels are integers and strictly monotone non-increasing, so
+        # Σ label is an exact fixpoint witness: unchanged sum ⟺ no
+        # label moved. One agg over the just-checkpointed table — no
+        # 1M×1M diff join per superstep.
+        label_sum = new_parent.agg(F.sum("val")).first()[0]
+        changed = None if it == start_iter else (label_sum != prev_sum)
+        prev_sum = label_sum
         ms = (time.time() - t0) * 1000.0
         state = runner.commit(
-            it, {"parent": new_parent}, scalars={"changed": changed}, metrics={"ms": ms}
+            it, {"parent": new_parent},
+            scalars={"label_sum": label_sum}, metrics={"ms": ms},
         )
         parent = state["parent"]
-        if changed == 0:
+        if changed is False:
             break
     loop_cm.__exit__(None, None, None)
 

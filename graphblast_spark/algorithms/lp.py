@@ -77,16 +77,17 @@ def label_propagation_min(
         new_labels = labels.join(nbr, on="id", how="left").select(
             "id", F.least(F.col("val"), F.coalesce("nmin", "val")).alias("val")
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), on="id")
-            .filter(F.col("n.val") != F.col("o.val")).count()
-        )
+        # monotone min labels: Σ label unchanged ⟺ fixpoint (exact for
+        # ints) — replaces a per-superstep 2-table diff join
+        label_sum = new_labels.agg(F.sum("val")).first()[0]
+        changed = None if it == start_iter else (label_sum != prev_sum)
+        prev_sum = label_sum
         state = runner.commit(
-            it, {"labels": new_labels}, scalars={"changed": changed},
+            it, {"labels": new_labels}, scalars={"label_sum": label_sum},
             metrics={"ms": (time.time() - t0) * 1000.0},
         )
         labels = state["labels"]
-        if changed == 0:
+        if changed is False:
             break
     loop_cm.__exit__(None, None, None)
     e_sym.unpersist()
