@@ -347,8 +347,8 @@ def q_e_knn_cosine(spark, sf_dir):
 
 
 def q_e_ivf_knn(spark, sf_dir):
-    # Approximate ANN — not SQL-expressible identically (IVF assignment);
-    # driver records a rows-only check.
+    # Deterministic IVF (centroids = first 8 vectors by id, rounded-
+    # cosine cell ranking) — fully reproduced by the SQL oracle.
     emb = _emb(spark, sf_dir)
     queries = emb.orderBy("vec_id").limit(10)
     return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
@@ -899,7 +899,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
               FROM scored
             ) WHERE rn <= 5""",
-        # e_ivf_knn intentionally omitted: approximate ANN, rows-only check.
+        "e_ivf_knn": f"""
+            WITH cent AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding AS centroid
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            qs AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),
+            assigned AS MATERIALIZED (
+              SELECT vec_id AS neighbor_id, embedding AS cemb, cell FROM (
+                SELECT q.vec_id, q.embedding, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_SQL_COSINE.replace('c.embedding', 'c.centroid')} DESC, c.cell) AS rn
+                FROM embeddings q, cent c
+              ) WHERE rn <= 1
+            ),
+            probes AS MATERIALIZED (
+              SELECT vec_id AS query_id, embedding AS qemb, cell FROM (
+                SELECT q.vec_id, q.embedding, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_SQL_COSINE.replace('c.embedding', 'c.centroid')} DESC, c.cell) AS rn
+                FROM qs q, cent c
+              ) WHERE rn <= 4
+            ),
+            scored AS (
+              SELECT DISTINCT p.query_id, a.neighbor_id,
+                     {_SQL_COSINE.replace('q.embedding', 'p.qemb').replace('c.embedding', 'a.cemb')} AS cos
+              FROM probes p JOIN assigned a ON p.cell = a.cell
+              WHERE p.query_id <> a.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= 5""",
         "q_events_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 6) AS total

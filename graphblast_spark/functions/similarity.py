@@ -67,7 +67,9 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, nprobe: int, id_col:
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
     scored = v.crossJoin(F.broadcast(centroids)).select(
         "vid", "vv", F.col("cell"),
-        cosine(F.col("vv"), F.col("centroid")).alias("cs"),
+        # rank on ROUNDED cosine: makes the cell choice reproducible
+        # across engines/summation orders (ties → lowest cell id)
+        F.round(cosine(F.col("vv"), F.col("centroid")), 6).alias("cs"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("cell").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= nprobe).select("vid", "vv", "cell")
