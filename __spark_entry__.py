@@ -249,8 +249,13 @@ def _assets(spark, sf_dir):
 def q_m_frame_sample(spark, sf_dir):
     from graphblast_spark.functions.multimodal import frame_sample
 
+    # frames are emitted hex-encoded (string): the driver's canonicalizer
+    # sorts column values and binary/bytearray cells are unsortable in
+    # pandas — hex is stable, sortable, and byte-faithful on both engines
     return frame_sample(_assets(spark, sf_dir), every_n=4).select(
-        "asset_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame"
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.hex("frame").alias("frame"),
     )
 
 
@@ -265,13 +270,13 @@ def q_m_decode_stats(spark, sf_dir):
 
 def q_g_msbfs(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
-    srcs = [r["id"] for r in g.vertices.orderBy("id").limit(4).collect()]
+    srcs = g.vertices.orderBy("id").limit(4)
     return multi_source_bfs(g, srcs).select("root", "id", "depth")
 
 
 def q_g_diameter(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
-    srcs = [r["id"] for r in g.vertices.orderBy("id").limit(4).collect()]
+    srcs = g.vertices.orderBy("id").limit(4)
     visited = multi_source_bfs(g, srcs)
     return visited.agg(F.max("depth").cast("long").alias("diameter"))
 
@@ -842,8 +847,27 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE length(text) >= 16
             )
             SELECT asset_id, CAST(i AS BIGINT) AS frame_idx,
-                   encode(substring(text, CAST(i AS INT) * 16 + 1, 16)) AS frame
+                   hex(substring(text, CAST(i AS INT) * 16 + 1, 16)) AS frame
             FROM ex""",
+        # decode_stats: the fake decoder's pixels are the 16 md5 digest
+        # bytes of the utf-8 payload (functions/multimodal.py); moments
+        # are computed with the identical float64 op order (sum/16,
+        # sumsq/16 - mean², sqrt), so the doubles are bit-identical.
+        "m_decode_stats": """
+            WITH px AS (
+              SELECT doc_id AS asset_id, 'image' AS kind,
+                     list_transform(generate_series(0, 15),
+                                    i -> CAST('0x' || substr(md5(text), i*2+1, 2) AS BIGINT)) AS b
+              FROM documents
+            ), mo AS (
+              SELECT asset_id, kind,
+                     list_sum(b) / 16.0 AS mean_px,
+                     list_sum(list_transform(b, x -> x * x)) / 16.0 AS msq
+              FROM px
+            )
+            SELECT asset_id, kind, round(mean_px, 6) AS mean_px,
+                   round(sqrt(msq - mean_px * mean_px), 6) AS std_px
+            FROM mo""",
         "g_mis": _sql_mis(10),
         "g_coloring": _sql_coloring(4),
         "g_lgc": _sql_lgc(4),

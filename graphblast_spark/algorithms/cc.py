@@ -67,43 +67,47 @@ def connected_components(
     state, start_iter, _ = runner.resume_or_init(init)
     parent = state["parent"]
 
-    loop_cm = stable_partitions(spark)
-    loop_cm.__enter__()
-    for it in range(start_iter, desc.max_niter):
-        t0 = time.time()
-        # (1) hooking: min neighbor parent (cc.hpp:78 MinimumSelectSecond
-        # vxm); shuffle-hash: probe persisted edges, build from parent
-        p = parent.hint("shuffle_hash")
-        nbr_min = (
-            e_sym.join(p, on=e_sym["dst"] == p["id"], how="inner")
-            .groupBy(e_sym["src"].alias("id"))
-            .agg(F.min(p["val"]).alias("nmin"))
-        )
-        hooked = (
-            parent.join(nbr_min, on="id", how="left")
-            .select("id", F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val"))).alias("val"))
-        )
-        # (2) shortcut/jump: f[u] = f[f[u]] (cc.hpp:98-99 extractGather)
-        new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
-        new_parent = new_parent.localCheckpoint(eager=True)
+    with stable_partitions(spark):
+        for it in range(start_iter, desc.max_niter):
+            t0 = time.time()
+            # (1) hooking: min neighbor parent (cc.hpp:78 MinimumSelectSecond
+            # vxm); shuffle-hash: probe persisted edges, build from parent
+            p = parent.hint("shuffle_hash")
+            nbr_min = (
+                e_sym.join(p, on=e_sym["dst"] == p["id"], how="inner")
+                .groupBy(e_sym["src"].alias("id"))
+                .agg(F.min(p["val"]).alias("nmin"))
+            )
+            hooked = (
+                parent.join(nbr_min, on="id", how="left")
+                .select("id", F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val"))).alias("val"))
+            )
+            # (2) shortcut/jump: f[u] = f[f[u]] (cc.hpp:98-99 extractGather)
+            new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
+            new_parent = new_parent.localCheckpoint(eager=True)
 
-        # (3) convergence (cc.hpp:102-104 MinimumNotEqualTo reduce).
-        # Labels are integers and strictly monotone non-increasing, so
-        # Σ label is an exact fixpoint witness: unchanged sum ⟺ no
-        # label moved. One agg over the just-checkpointed table — no
-        # 1M×1M diff join per superstep.
-        label_sum = new_parent.agg(F.sum("val")).first()[0]
-        changed = None if it == start_iter else (label_sum != prev_sum)
-        prev_sum = label_sum
-        ms = (time.time() - t0) * 1000.0
-        state = runner.commit(
-            it, {"parent": new_parent},
-            scalars={"label_sum": label_sum}, metrics={"ms": ms},
-        )
-        parent = state["parent"]
-        if changed is False:
-            break
-    loop_cm.__exit__(None, None, None)
+            # (3) convergence (cc.hpp:102-104 MinimumNotEqualTo reduce).
+            # Labels are integers and strictly monotone non-increasing, so
+            # Σ label is an exact fixpoint witness: unchanged sum ⟺ no
+            # label moved. One agg over the just-checkpointed table — no
+            # 1M×1M diff join per superstep. Summed as decimal(38,0):
+            # at 10^12 vertices × 10^12-sized labels the int64 sum wraps
+            # (~10^24 ≫ 2^63) and a wrapped collision could fake
+            # convergence; decimal keeps the witness exact at any scale
+            # for the same single-agg cost.
+            label_sum = int(
+                new_parent.agg(F.sum(F.col("val").cast("decimal(38,0)"))).first()[0]
+            )
+            changed = None if it == start_iter else (label_sum != prev_sum)
+            prev_sum = label_sum
+            ms = (time.time() - t0) * 1000.0
+            state = runner.commit(
+                it, {"parent": new_parent},
+                scalars={"label_sum": label_sum}, metrics={"ms": ms},
+            )
+            parent = state["parent"]
+            if changed is False:
+                break
 
     e_sym.unpersist()
     return parent.select("id", F.col("val").alias("component"))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
@@ -29,16 +30,18 @@ def multi_source_bfs(
     desc: Descriptor = DEFAULT_DESC,
     runner: SuperstepRunner | None = None,
 ):
-    """BFS from every id in ``sources`` (an iterable of vertex ids).
+    """BFS from every id in ``sources`` — an iterable of vertex ids, or
+    a single-column DataFrame of them (no driver round-trip).
     Returns (root long, id long, depth long) — sparse: unreached
     (root, id) pairs have no row."""
     spark = g.edges.sparkSession
     if runner is None:
         runner = SuperstepRunner(spark)
 
-    src_df = spark.createDataFrame(
-        [(int(s),) for s in sources], "root long"
-    )
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).cast("long").alias("root"))
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources], "root long")
 
     def init():
         seed = src_df.select("root", F.col("root").alias("id"),
@@ -81,10 +84,18 @@ def diameter(
     desc: Descriptor = DEFAULT_DESC,
 ) -> int:
     """Max BFS depth over the first ``n_sources`` vertex ids (the
-    reference sweeps a source range, diameter.hpp:30-49; exact diameter
-    when n_sources covers all vertices)."""
-    ids = [r["id"] for r in
-           g.vertices.orderBy("id").limit(n_sources or g.n).collect()]
-    visited = multi_source_bfs(g, ids, desc=desc)
+    reference sweeps a source range, diameter.hpp:30-49).
+
+    **Sampled-diameter semantics**: with ``n_sources`` this is a lower
+    bound on the true diameter (eccentricity max over the sampled
+    roots). ``n_sources=None`` sweeps EVERY vertex — exact, but the
+    multi-source frontier carries O(|V|·reached) state; on a web-scale
+    graph always pass a sample size. The source set stays a DataFrame
+    end-to-end (no driver collect); the only driver-side value is the
+    final scalar max."""
+    srcs = g.vertices.orderBy("id")
+    if n_sources is not None:
+        srcs = srcs.limit(n_sources)
+    visited = multi_source_bfs(g, srcs.select("id"), desc=desc)
     row = visited.agg(F.max("depth").alias("d")).first()
     return int(row["d"]) if row["d"] is not None else 0

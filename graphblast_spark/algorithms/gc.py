@@ -67,21 +67,29 @@ def graph_coloring(
     with stable_partitions(spark):
         for it in range(start_iter, max_rounds):
             t0 = time.time()
+            # max (weight, id) of uncolored neighbors — the id component
+            # breaks LCG-weight ties for ids ≥ 2^31−1 (see mis.py)
             c2 = cand.select(F.col("id").alias("nid"), F.col("w").alias("nw"))
             m = (
                 adj.join(c2, on=adj["src"] == c2["nid"], how="inner")
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.max("nw").alias("m"))
+                .agg(F.max(F.struct(F.col("nw").alias("w"), F.col("nid").alias("i"))).alias("m"))
             )
             winners = (
                 cand.join(m, on="id", how="left")
-                .filter(F.col("m").isNull() | (F.col("w") > F.col("m")))
+                .filter(
+                    F.col("m").isNull()
+                    | (F.struct(F.col("w").alias("w"), F.col("id").alias("i")) > F.col("m"))
+                )
                 .select("id")
             )
             winners = winners.localCheckpoint(eager=True)
             n_new = winners.count()
             if n_new == 0:
-                runner.commit(it, {}, scalars={"succ": 0}, metrics={"ms": 0.0})
+                runner.commit(
+                    it, {"cand": cand, "colored": colored},
+                    scalars={"succ": 0}, metrics={"ms": 0.0},
+                )
                 break
             colored = colored.unionByName(
                 winners.withColumn("color", F.lit(it + 1))

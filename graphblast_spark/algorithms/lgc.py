@@ -74,7 +74,9 @@ def lgc(
             n_f = f.count()  # superstep action (reduce succ, lgc.hpp:137)
             if n_f == 0:
                 f.unpersist()
-                runner.commit(it, {}, scalars={"succ": 0}, metrics={"ms": 0.0})
+                runner.commit(
+                    it, {"p": p, "r": r}, scalars={"succ": 0}, metrics={"ms": 0.0}
+                )
                 break
 
             # p += α·r on frontier (outer-merge: off-frontier p kept)

@@ -64,32 +64,34 @@ def label_propagation_min(
         lambda: {"labels": g.vertices.select("id", F.col("id").alias("val"))}
     )
     labels = state["labels"]
-    loop_cm = stable_partitions(spark)
-    loop_cm.__enter__()
-    for it in range(start_iter, desc.max_niter):
-        t0 = time.time()
-        lb = labels.hint("shuffle_hash")
-        nbr = (
-            e_sym.join(lb, on=e_sym["dst"] == lb["id"])
-            .groupBy(e_sym["src"].alias("id"))
-            .agg(F.min(lb["val"]).alias("nmin"))
-        )
-        new_labels = labels.join(nbr, on="id", how="left").select(
-            "id", F.least(F.col("val"), F.coalesce("nmin", "val")).alias("val")
-        ).localCheckpoint(eager=True)
-        # monotone min labels: Σ label unchanged ⟺ fixpoint (exact for
-        # ints) — replaces a per-superstep 2-table diff join
-        label_sum = new_labels.agg(F.sum("val")).first()[0]
-        changed = None if it == start_iter else (label_sum != prev_sum)
-        prev_sum = label_sum
-        state = runner.commit(
-            it, {"labels": new_labels}, scalars={"label_sum": label_sum},
-            metrics={"ms": (time.time() - t0) * 1000.0},
-        )
-        labels = state["labels"]
-        if changed is False:
-            break
-    loop_cm.__exit__(None, None, None)
+    with stable_partitions(spark):
+        for it in range(start_iter, desc.max_niter):
+            t0 = time.time()
+            lb = labels.hint("shuffle_hash")
+            nbr = (
+                e_sym.join(lb, on=e_sym["dst"] == lb["id"])
+                .groupBy(e_sym["src"].alias("id"))
+                .agg(F.min(lb["val"]).alias("nmin"))
+            )
+            new_labels = labels.join(nbr, on="id", how="left").select(
+                "id", F.least(F.col("val"), F.coalesce("nmin", "val")).alias("val")
+            ).localCheckpoint(eager=True)
+            # monotone min labels: Σ label unchanged ⟺ fixpoint —
+            # summed as decimal(38,0) so the witness stays exact past
+            # int64 (10^12 ids × 10^12 labels ≈ 10^24 would wrap and a
+            # wrapped collision could fake convergence)
+            label_sum = int(
+                new_labels.agg(F.sum(F.col("val").cast("decimal(38,0)"))).first()[0]
+            )
+            changed = None if it == start_iter else (label_sum != prev_sum)
+            prev_sum = label_sum
+            state = runner.commit(
+                it, {"labels": new_labels}, scalars={"label_sum": label_sum},
+                metrics={"ms": (time.time() - t0) * 1000.0},
+            )
+            labels = state["labels"]
+            if changed is False:
+                break
     e_sym.unpersist()
     return labels.select("id", F.col("val").alias("label"))
 
@@ -112,26 +114,24 @@ def label_propagation_majority(
     )
     labels = state["labels"]
     win = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
-    loop_cm = stable_partitions(spark)
-    loop_cm.__enter__()
-    for it in range(start_iter, iters):
-        t0 = time.time()
-        lb = labels.hint("shuffle_hash")
-        votes = (
-            e_sym.join(lb, on=e_sym["dst"] == lb["id"])
-            .groupBy(e_sym["src"].alias("id"), lb["val"].alias("lbl"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        winner = (
-            votes.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("lbl").alias("new"))
-        )
-        new_labels = labels.join(winner, on="id", how="left").select(
-            "id", F.coalesce("new", "val").alias("val")
-        ).localCheckpoint(eager=True)
-        state = runner.commit(it, {"labels": new_labels}, metrics={"ms": (time.time() - t0) * 1000.0})
-        labels = state["labels"]
-    loop_cm.__exit__(None, None, None)
+    with stable_partitions(spark):
+        for it in range(start_iter, iters):
+            t0 = time.time()
+            lb = labels.hint("shuffle_hash")
+            votes = (
+                e_sym.join(lb, on=e_sym["dst"] == lb["id"])
+                .groupBy(e_sym["src"].alias("id"), lb["val"].alias("lbl"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            winner = (
+                votes.withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") == 1)
+                .select("id", F.col("lbl").alias("new"))
+            )
+            new_labels = labels.join(winner, on="id", how="left").select(
+                "id", F.coalesce("new", "val").alias("val")
+            ).localCheckpoint(eager=True)
+            state = runner.commit(it, {"labels": new_labels}, metrics={"ms": (time.time() - t0) * 1000.0})
+            labels = state["labels"]
     e_sym.unpersist()
     return labels.select("id", F.col("val").alias("label"))

@@ -15,9 +15,14 @@ The reference seeds C ``rand()``; we need *engine-reproducible* weights
 (the DuckDB oracle must derive the identical sequence), so the weight
 is an LCG-style bijection of the vertex id on the Mersenne prime
 2^31−1: ``w(v) = (1103515245·v + 12345) mod (2^31−1) + 1``. For
-v < 2^31−1 this is injective (multiplier coprime to a prime modulus) —
-no ties, so the greater-than test needs no tiebreak and the result is
-unique and deterministic.
+v < 2^31−1 this is injective (multiplier coprime to a prime modulus);
+for the full 64-bit id space two ids CAN collide mod 2^31−1, and under
+a strict ``w > m`` rule tied neighbors would deadlock (neither ever
+wins — a silently non-maximal set). The comparison therefore runs on
+the pair ``(w, id)`` lexicographically — injective for ALL ids, so the
+no-ties assumption holds by construction. On tie-free graphs (every id
+< 2^31−1, e.g. all oracle fixtures) the pair order equals the plain
+weight order, keeping the SQL oracle byte-identical.
 
 Spark mapping: candidates/weights live in one vector ``w(id, val)``
 kept SPARSE (only still-candidate rows — frontier semantics); step 2
@@ -85,25 +90,33 @@ def mis(
     with stable_partitions(spark):
         for it in range(start_iter, max_rounds):
             t0 = time.time()
-            # m(v) = max weight among still-candidate neighbors
-            # (vxm MaximumMultiplies, mis.hpp:64-65)
+            # m(v) = max (weight, id) among still-candidate neighbors
+            # (vxm MaximumMultiplies, mis.hpp:64-65); the id component
+            # breaks LCG-weight ties for ids ≥ 2^31−1 (struct max/> is
+            # lexicographic, so tie-free graphs are unaffected)
             c2 = cand.select(F.col("id").alias("nid"), F.col("w").alias("nw"))
             m = (
                 adj.join(c2, on=adj["src"] == c2["nid"], how="inner")
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.max("nw").alias("m"))
+                .agg(F.max(F.struct(F.col("nw").alias("w"), F.col("nid").alias("i"))).alias("m"))
             )
-            # winners: candidates whose weight beats every candidate
-            # neighbor (no candidate neighbor → m null → winner)
+            # winners: candidates whose (weight, id) beats every candidate
+            # neighbor's (no candidate neighbor → m null → winner)
             winners = (
                 cand.join(m, on="id", how="left")
-                .filter(F.col("m").isNull() | (F.col("w") > F.col("m")))
+                .filter(
+                    F.col("m").isNull()
+                    | (F.struct(F.col("w").alias("w"), F.col("id").alias("i")) > F.col("m"))
+                )
                 .select("id")
             )
             winners = winners.localCheckpoint(eager=True)  # superstep action
             n_new = winners.count()
             if n_new == 0:
-                runner.commit(it, {}, scalars={"succ": 0}, metrics={"ms": 0.0})
+                runner.commit(
+                    it, {"cand": cand, "members": members},
+                    scalars={"succ": 0}, metrics={"ms": 0.0},
+                )
                 break
             members = members.unionByName(winners)
             # remove winners and their neighbors from candidates

@@ -43,16 +43,27 @@ def shingles(col: Column, n_words: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
-def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicate_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids: int = 100,
+) -> DataFrame:
     """Groups of byte-identical documents: (fp_md5, n_dups, canonical_id,
-    doc_ids) for groups with ≥2 members. One shuffle on md5."""
+    doc_ids) for groups with ≥2 members. One shuffle on md5.
+
+    ``doc_ids`` is capped at ``max_ids`` members per group (pathological
+    corpora — billions of copies of one boilerplate page — would
+    otherwise blow the aggregation buffer for that key; ``n_dups`` still
+    counts everything, and a full listing is a filter on fp_md5 away).
+    """
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp_md5"))
         .groupBy("fp_md5")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.min("doc_id").alias("canonical_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_ids).alias("doc_ids"),
         )
         .filter(F.col("n_dups") >= 2)
     )
@@ -115,9 +126,11 @@ def lsh_candidate_pairs(
     """(a, b) candidate near-dup pairs (a < b): documents sharing at
     least one LSH band. Band key = the band's signature rows joined as
     a string. The band-bucket self-join is the only shuffle; dedup via
-    distinct. The banded table is persisted internally — a self-join
-    would otherwise recompute the full signature pipeline for BOTH
-    sides (measured 2× end-to-end)."""
+    distinct. The banded table is materialized once via an eager
+    localCheckpoint — a self-join would otherwise recompute the full
+    signature pipeline for BOTH sides (measured 2× end-to-end), and
+    unlike ``persist()`` the checkpoint blocks are released when the
+    result goes out of scope (no leaked cache entry per call)."""
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -137,7 +150,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey").persist()
+    ).select("doc_id", "bk.band", "bk.bkey").localCheckpoint(eager=True)
     l = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("a"))
     r = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("b"))
     return (

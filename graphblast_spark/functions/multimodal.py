@@ -8,7 +8,7 @@ job), so the decode step is stubbed two ways:
 - ``decode_image(strict=True)`` raises NotImplementedError — the
   clearly-marked production splice point (plug Pillow/ffmpeg here);
 - ``decode_image(strict=False)`` runs a deterministic fake decoder
-  (payload bytes → seeded pixel statistics) so the Spark-side plumbing
+  (payload bytes → md5-digest pixel tile) so the Spark-side plumbing
   — schema, batch shape, partitioning, UDF signature — is real and
   testable end-to-end.
 
@@ -34,15 +34,27 @@ FEATURE_DIM = 16
 
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic fake decode: payload bytes → (h, w) uint8 array.
-    Stands in for a real image codec; same signature/shape contract."""
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    """Deterministic fake decode: payload bytes → (h, w) uint8 array —
+    the 16 md5 digest bytes tiled to the requested shape. Stands in for
+    a real image codec (same signature/shape contract) while keeping the
+    pixel values a *closed-form function of the payload bytes*, so an
+    ANSI-SQL oracle can replay the downstream statistics bit-for-bit
+    (an RNG-seeded fake cannot)."""
+    digest = np.frombuffer(hashlib.md5(payload).digest(), dtype=np.uint8)
+    reps = -(-(width * height) // 16)  # ceil division
+    return np.tile(digest, reps)[: width * height].reshape(height, width)
 
 
 def decode_stats(assets: DataFrame, strict: bool = False) -> DataFrame:
     """assets → (asset_id, kind, mean_px double, std_px double).
+
+    Stats are computed over the 16 md5 digest bytes of the payload (one
+    full tile of the fake decoder — tiling repeats the same 16 values,
+    so digest moments == image moments). The arithmetic is ordered so
+    every intermediate is exactly representable in float64 (sums of
+    ints, /16, products < 2^24, correctly-rounded sqrt): a DuckDB
+    oracle running the identical formula produces bit-identical
+    doubles.
 
     ``strict=True`` raises NotImplementedError (no codec in container).
     """
@@ -54,12 +66,18 @@ def decode_stats(assets: DataFrame, strict: bool = False) -> DataFrame:
                 "ffmpeg) not present in this environment; use strict=False "
                 "for the deterministic fake decoder"
             )
+        import math
+
         for b in batches:
             means, stds = [], []
-            for payload, w, h in zip(b["payload"], b["width"], b["height"]):
-                px = _fake_pixels(payload, int(w or 8), int(h or 8))
-                means.append(float(px.mean()))
-                stds.append(float(px.std()))
+            for payload in b["payload"]:
+                d = hashlib.md5(bytes(payload or b"")).digest()
+                s = sum(d)
+                sq = sum(x * x for x in d)
+                mean = s / 16.0
+                var = sq / 16.0 - mean * mean
+                means.append(mean)
+                stds.append(math.sqrt(var if var > 0 else 0.0))
             yield pd.DataFrame(
                 {
                     "asset_id": b["asset_id"],

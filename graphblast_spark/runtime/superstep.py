@@ -108,9 +108,14 @@ class SuperstepRunner:
         metrics: dict | None = None,
     ) -> dict[str, DataFrame]:
         """Log metrics; write a durable checkpoint when the cadence says
-        so. Returns the (possibly checkpoint-backed) state."""
+        so. Returns the (possibly checkpoint-backed) state.
+
+        An empty ``state`` is metrics-only: it is never checkpointed
+        (a convergence-break commit with ``{}`` must not become the
+        newest checkpoint, or resume would restore an empty state dict
+        and lose everything previously checkpointed)."""
         self._log({"iter": it, **(metrics or {}), **({"scalars": scalars} if scalars else {})})
-        if self.checkpoint_every and self.run_dir and (it + 1) % self.checkpoint_every == 0:
+        if state and self.checkpoint_every and self.run_dir and (it + 1) % self.checkpoint_every == 0:
             cdir = self._ckpt_dir(it)
             for k, df in state.items():
                 df.write.mode("overwrite").parquet(os.path.join(cdir, k))

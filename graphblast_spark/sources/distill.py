@@ -125,12 +125,14 @@ def distill_edges(
     dropped (inner join); the vertex universe is ALL pages (dangling
     pages keep ids — PR teleport semantics need them, SURVEY §7.3.5).
     """
-    # The extraction feeds BOTH the id map and the edge pairs; without a
-    # persist the full pages scan + Arrow decode + regex extraction runs
-    # once per consumer (measured 2.3× end-to-end at 1M pages). At real
-    # web scale this materialization is the parquet/Iceberg staging
-    # table the binary-cache analog describes (util.hpp:331-357).
-    cols = extract_columns(pages).persist()
+    # The extraction feeds BOTH the id map and the edge pairs; without
+    # materialization the full pages scan + Arrow decode + regex
+    # extraction runs once per consumer (measured 2.3× end-to-end at 1M
+    # pages). Eager localCheckpoint (not persist) so the blocks are
+    # released when the result goes out of scope. At real web scale
+    # this materialization is the parquet/Iceberg staging table the
+    # binary-cache analog describes (util.hpp:331-357).
+    cols = extract_columns(pages).localCheckpoint(eager=True)
     url_map = assign_dense_ids(cols.select("url"), num_partitions).persist()
 
     pairs = cols.select(
