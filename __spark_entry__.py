@@ -26,6 +26,7 @@ from graphblast_spark.algorithms import (
     bfs,
     connected_components,
     graph_coloring,
+    graph_coloring_jp,
     label_propagation_majority,
     label_propagation_min,
     lgc,
@@ -43,9 +44,13 @@ from graphblast_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
-from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
+from graphblast_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
 from graphblast_spark.functions.text import add_fingerprint, add_lang_id, add_quality, add_token_count
-from graphblast_spark.operators import ewise_add, ewise_mult, vxm
+from graphblast_spark.operators import ewise_add, ewise_mult, mxm, vxm
 from graphblast_spark.sources.tpch_graphs import (
     SQL_COPURCHASE_EDGES,
     SQL_COPURCHASE_VERTICES,
@@ -223,6 +228,36 @@ def q_g_coloring(spark, sf_dir):
     return graph_coloring(g, fixed_rounds=4).select(
         "id", F.col("color").cast("long").alias("color")
     )
+
+
+def q_g_mxm_2hop(spark, sf_dir):
+    # general (unmasked) SpGEMM: 2-hop path counts from a deterministic
+    # source slice (src % 50 == 0) — restricting A's rows keeps the
+    # contract output bounded while exercising the full A·B join+agg
+    g = copurchase_graph(spark, sf_dir)
+    sub = Graph(
+        edges=g.edges.filter(F.col("src") % 50 == 0),
+        vertices=g.vertices, n=g.n, nvals=-1,
+    )
+    return mxm(sub, g, "PlusMultiplies").select(
+        "src", "dst", F.round("val", 6).alias("n_paths")
+    )
+
+
+def q_g_coloring_jp(spark, sf_dir):
+    g = copurchase_graph(spark, sf_dir)
+    return graph_coloring_jp(g, fixed_rounds=3).select(
+        "id", F.col("color").cast("long").alias("color")
+    )
+
+
+def q_e_cosine_neardup(spark, sf_dir):
+    # IVF-bucketed near-dup pairs (8 deterministic cells); threshold
+    # 0.3 because the synthetic embeddings are near-orthogonal (max
+    # pairwise cosine ≈ 0.5) — the plan shape is what's under test
+    return cosine_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, n_cells=8
+    ).select("a", "b", "cos")
 
 
 def q_g_lgc(spark, sf_dir):
@@ -411,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_sssp": q_g_sssp,
         "g_mis": q_g_mis,
         "g_coloring": q_g_coloring,
+        "g_coloring_jp": q_g_coloring_jp,
+        "g_mxm_2hop": q_g_mxm_2hop,
         "g_lgc": q_g_lgc,
         "g_msbfs": q_g_msbfs,
         "g_diameter": q_g_diameter,
@@ -424,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": q_d_simhash,
         "e_knn_cosine": q_e_knn_cosine,
         "e_ivf_knn": q_e_ivf_knn,
+        "e_cosine_neardup": q_e_cosine_neardup,
         "m_frame_sample": q_m_frame_sample,
         "m_decode_stats": q_m_decode_stats,
         "q_events_window": q_events_window,
@@ -616,6 +654,41 @@ def _sql_coloring(rounds: int = 4) -> str:
             f"WHERE m{k}.m IS NULL OR c.w > m{k}.m)",
             f"col{k + 1} AS MATERIALIZED (SELECT id, color FROM col{k} "
             f"UNION ALL SELECT id, {k + 1} AS color FROM win{k})",
+            f"cand{k + 1} AS MATERIALIZED (SELECT c.id, c.w FROM cand{k} c "
+            f"LEFT JOIN win{k} w2 ON c.id = w2.id WHERE w2.id IS NULL)",
+        ]
+    return (
+        f"WITH {_EDGES_MAT}, {_VERTICES_MAT},\n" + ",\n".join(parts) +
+        f"\nSELECT v.id, CAST(coalesce(cc.color, 0) AS BIGINT) AS color"
+        f"\nFROM vertices v LEFT JOIN col{rounds} cc ON v.id = cc.id"
+    )
+
+
+def _sql_coloring_jp(rounds: int = 3) -> str:
+    """Jones-Plassmann coloring (gc.hpp:160-406 loop) unrolled: same
+    winner rule as the IS variant, but a winner takes the smallest
+    color absent from its already-colored neighborhood (min over
+    {1..|used|+1} ∖ used) instead of the round number."""
+    parts = [
+        f"w0 AS MATERIALIZED (SELECT id, {_SQL_LCG_W} AS w FROM vertices)",
+        "cand0 AS MATERIALIZED (SELECT id, w FROM w0)",
+        "col0 AS MATERIALIZED (SELECT id, 0 AS color FROM vertices WHERE 1=0)",
+    ]
+    for k in range(rounds):
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, max(c.w) AS m FROM edges e "
+            f"JOIN cand{k} c ON e.src = c.id GROUP BY e.dst)",
+            f"win{k} AS MATERIALIZED (SELECT c.id FROM cand{k} c LEFT JOIN m{k} ON c.id = m{k}.id "
+            f"WHERE m{k}.m IS NULL OR c.w > m{k}.m)",
+            f"nc{k} AS MATERIALIZED (SELECT w.id, list(DISTINCT cc.color) AS used "
+            f"FROM win{k} w JOIN edges e ON e.dst = w.id "
+            f"JOIN col{k} cc ON cc.id = e.src GROUP BY w.id)",
+            f"asg{k} AS MATERIALIZED (SELECT w.id, CAST(coalesce("
+            f"list_min(list_filter(generate_series(1, len(n.used) + 1), "
+            f"x -> NOT list_contains(n.used, x))), 1) AS INT) AS color "
+            f"FROM win{k} w LEFT JOIN nc{k} n ON w.id = n.id)",
+            f"col{k + 1} AS MATERIALIZED (SELECT id, color FROM col{k} "
+            f"UNION ALL SELECT id, color FROM asg{k})",
             f"cand{k + 1} AS MATERIALIZED (SELECT c.id, c.w FROM cand{k} c "
             f"LEFT JOIN win{k} w2 ON c.id = w2.id WHERE w2.id IS NULL)",
         ]
@@ -870,6 +943,14 @@ def oracle_sql() -> dict[str, str]:
             FROM mo""",
         "g_mis": _sql_mis(10),
         "g_coloring": _sql_coloring(4),
+        "g_coloring_jp": _sql_coloring_jp(3),
+        "g_mxm_2hop": f"""
+            WITH {_EDGES}
+            SELECT e1.src AS src, e2.dst AS dst,
+                   round(CAST(count(*) AS DOUBLE), 6) AS n_paths
+            FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+            WHERE e1.src % 50 = 0
+            GROUP BY e1.src, e2.dst""",
         "g_lgc": _sql_lgc(4),
         "g_msbfs": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},{_SQL_MSBFS_BODY}
@@ -956,6 +1037,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
               FROM scored
             ) WHERE rn <= 5""",
+        "e_cosine_neardup": f"""
+            WITH cent AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding AS centroid
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            assigned AS MATERIALIZED (
+              SELECT vec_id, embedding, cell FROM (
+                SELECT q.vec_id, q.embedding, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_SQL_COSINE.replace('c.embedding', 'c.centroid')} DESC, c.cell) AS rn
+                FROM embeddings q, cent c
+              ) WHERE rn <= 1
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   {_SQL_COSINE.replace('q.embedding', 'x.embedding').replace('c.embedding', 'y.embedding')} AS cos
+            FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+            WHERE {_SQL_COSINE.replace('q.embedding', 'x.embedding').replace('c.embedding', 'y.embedding')} >= CAST(0.3 AS DOUBLE)""",
         "q_events_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 6) AS total

@@ -5,7 +5,7 @@ from graphblast_spark.algorithms.tc import triangle_count
 from graphblast_spark.algorithms.bfs import bfs
 from graphblast_spark.algorithms.sssp import sssp
 from graphblast_spark.algorithms.mis import mis
-from graphblast_spark.algorithms.gc import graph_coloring
+from graphblast_spark.algorithms.gc import graph_coloring, graph_coloring_jp
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import diameter, multi_source_bfs
 
@@ -20,6 +20,7 @@ __all__ = [
     "sssp",
     "mis",
     "graph_coloring",
+    "graph_coloring_jp",
     "lgc",
     "diameter",
     "multi_source_bfs",

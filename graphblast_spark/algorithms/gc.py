@@ -107,3 +107,111 @@ def graph_coloring(
     )
     adj.unpersist()
     return out
+
+
+def graph_coloring_jp(
+    g: Graph,
+    desc: Descriptor = DEFAULT_DESC,
+    runner: SuperstepRunner | None = None,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """Jones-Plassmann coloring (reference gc.hpp:160-406 — the variant
+    used in practice on big graphs).
+
+    Same winner rule as the IS variant (local (weight, id) maxima among
+    the still-uncolored), but a winner takes the SMALLEST color absent
+    from its already-colored neighborhood instead of the round number —
+    typically far fewer colors at the same round count. Winners of one
+    round are pairwise non-adjacent (at most one of two adjacent
+    candidates can be the local max), and each avoids all previously
+    assigned neighbor colors, so the coloring is proper by induction.
+
+    Scale shape per round: the same neighbor-max join as IS plus one
+    used-colors aggregate — ``collect_set(color)`` per winner, whose
+    size is bounded by the colors-so-far count (small), with map-side
+    dedup absorbing hub fan-in. Returns (id long, color int); with
+    ``fixed_rounds`` still-uncolored vertices report color 0."""
+    spark = g.edges.sparkSession
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    adj = (
+        g.edges.select("src", "dst")
+        .unionByName(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+
+    def init():
+        cand = g.vertices.select("id", lcg_weight(F.col("id")).alias("w"))
+        colored = spark.createDataFrame([], "id long, color int")
+        return {"cand": cand, "colored": colored}
+
+    state, start_iter, _ = runner.resume_or_init(init)
+    cand, colored = state["cand"], state["colored"]
+
+    max_rounds = fixed_rounds if fixed_rounds is not None else desc.max_niter
+    with stable_partitions(spark):
+        for it in range(start_iter, max_rounds):
+            t0 = time.time()
+            c2 = cand.select(F.col("id").alias("nid"), F.col("w").alias("nw"))
+            m = (
+                adj.join(c2, on=adj["src"] == c2["nid"], how="inner")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max(F.struct(F.col("nw").alias("w"), F.col("nid").alias("i"))).alias("m"))
+            )
+            winners = (
+                cand.join(m, on="id", how="left")
+                .filter(
+                    F.col("m").isNull()
+                    | (F.struct(F.col("w").alias("w"), F.col("id").alias("i")) > F.col("m"))
+                )
+                .select("id")
+            )
+            winners = winners.localCheckpoint(eager=True)
+            n_new = winners.count()
+            if n_new == 0:
+                runner.commit(
+                    it, {"cand": cand, "colored": colored},
+                    scalars={"succ": 0}, metrics={"ms": 0.0},
+                )
+                break
+            # smallest color not used by already-colored neighbors:
+            # min over {1..|used|+1} ∖ used (gc.hpp's forbidden-array
+            # scan, reframed as an array expression over a small set)
+            cl = colored.select(F.col("id").alias("nid"), "color")
+            used = (
+                adj.join(winners, on=adj["dst"] == winners["id"], how="left_semi")
+                .join(cl, on=F.col("src") == F.col("nid"), how="inner")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.collect_set("color").alias("used"))
+            )
+            assigned = (
+                winners.join(used, on="id", how="left")
+                .select(
+                    "id",
+                    F.coalesce(
+                        F.array_min(
+                            F.array_except(
+                                F.sequence(F.lit(1), F.coalesce(F.size("used"), F.lit(0)) + 1),
+                                F.coalesce("used", F.array().cast("array<int>")),
+                            )
+                        ),
+                        F.lit(1),
+                    ).cast("int").alias("color"),
+                )
+            )
+            colored = colored.unionByName(assigned)
+            cand = cand.join(winners, on="id", how="left_anti")
+            state = runner.truncate({"cand": cand, "colored": colored})
+            cand, colored = state["cand"], state["colored"]
+            runner.commit(
+                it, state, scalars={"succ": n_new},
+                metrics={"ms": (time.time() - t0) * 1000.0, "colored": n_new},
+            )
+
+    out = g.vertices.join(colored, on="id", how="left").select(
+        "id", F.coalesce("color", F.lit(0)).alias("color")
+    )
+    adj.unpersist()
+    return out

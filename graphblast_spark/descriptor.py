@@ -39,6 +39,13 @@ class Descriptor:
     # Iteration control (reference util.hpp:57-58)
     max_niter: int = 200
 
+    # Skew handling: vecmat auto-salts the semiring reduce when the
+    # hottest output key's fan-in exceeds this many rows (the hub's
+    # pre-combine volume). 16M rows ≈ a few hundred MB of (key, val)
+    # pairs — roughly one executor-task's comfortable working set; web
+    # hubs above it get a two-phase salted reduce (see vecmat._vecmat).
+    salt_budget: int = 1 << 24
+
     # Superstep runtime
     checkpoint_every: int = 0      # 0 = localCheckpoint only, no durable ckpt
     checkpoint_dir: str | None = None

@@ -63,7 +63,14 @@ def brute_force_topk(
 
 def _assign_cells(vectors: DataFrame, centroids: DataFrame, nprobe: int, id_col: str, vec_col: str) -> DataFrame:
     """For each vector: its ``nprobe`` best cells by cosine (nprobe=1 for
-    corpus assignment, >1 for query probing)."""
+    corpus assignment, >1 for query probing).
+
+    nprobe=1 (the corpus-side path, |corpus| rows) is an aggregated
+    argmax — ``min_by`` over the broadcast-scored rows, which partial-
+    aggregates map-side to ONE row per vector before any shuffle. A
+    row_number window here would instead sort-shuffle |corpus|·n_cells
+    rows globally — the scale-killer this replaces. nprobe>1 runs only
+    on the (small) query side, where the window is fine."""
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
     scored = v.crossJoin(F.broadcast(centroids)).select(
         "vid", "vv", F.col("cell"),
@@ -71,6 +78,16 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, nprobe: int, id_col:
         # across engines/summation orders (ties → lowest cell id)
         F.round(cosine(F.col("vv"), F.col("centroid")), 6).alias("cs"),
     )
+    if nprobe == 1:
+        # argmax by (cs desc, cell asc) ≡ min_by the (-cs, cell) key;
+        # vv rides along in the value struct so no re-join is needed
+        best = scored.groupBy("vid").agg(
+            F.min_by(
+                F.struct(F.col("vv").alias("vv"), F.col("cell").alias("cell")),
+                F.struct((-F.col("cs")).alias("ncs"), F.col("cell").alias("c")),
+            ).alias("b")
+        )
+        return best.select("vid", F.col("b.vv").alias("vv"), F.col("b.cell").alias("cell"))
     w = Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("cell").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= nprobe).select("vid", "vv", "cell")
 
@@ -112,17 +129,45 @@ def ivf_topk(
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
+    n_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
-    Exact all-pairs — at scale, pre-bucket with ivf cells and run this
-    within cells (same expression, bucketed join)."""
-    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+
+    Default path is **IVF-bucketed**: vectors are assigned to their
+    nearest of ``n_cells`` coarse cells and only within-cell pairs are
+    scored — the pair space shrinks from O(n²) to Σ_cell |cell|², the
+    same banding idea as LSH dedup. Near-dups (cos ≥ 0.95) land in the
+    same cell with high probability because cell choice is itself
+    argmax-cosine; pairs straddling a cell boundary are missed
+    (approximate by design — raise n_cells resolution or run
+    ``n_cells=None`` to verify a sample).
+
+    ``n_cells=None`` is the exact all-pairs baseline: O(n²) — the
+    correctness reference for small corpora, never the scale path."""
+    if n_cells is None:
+        a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b)
+    else:
+        centroids = (
+            vectors.orderBy(id_col).limit(n_cells)
+            .select(
+                (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
+                F.col(vec_col).alias("centroid"),
+            )
+        )
+        # materialize once — the self-join below would otherwise run the
+        # scoring+argmax pipeline for both sides
+        assigned = _assign_cells(vectors, centroids, 1, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+        a = assigned.select(F.col("vid").alias("a"), F.col("vv").alias("va"), "cell")
+        b = assigned.select(F.col("vid").alias("b"), F.col("vv").alias("vb"), "cell")
+        pairs = a.join(b, on="cell").drop("cell")
     return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
+        pairs.filter(F.col("a") < F.col("b"))
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

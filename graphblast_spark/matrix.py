@@ -60,6 +60,23 @@ class Graph:
     n: int                    # |V|
     nvals: int                # |E| after cleaning
     _cached: list[DataFrame] = field(default_factory=list)
+    _stats: dict = field(default_factory=dict)
+
+    def hub_degree(self, key: str = "dst") -> int:
+        """Max per-vertex edge count in the given orientation — the
+        hottest key's fan-in, computed once per orientation and cached.
+        Drives vecmat auto-salting (skew handled from measured degree
+        stats, not on request): one scan of the persisted edge table
+        the first time it's consulted."""
+        if key not in self._stats:
+            row = (
+                self.edges.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c"))
+                .first()
+            )
+            self._stats[key] = int(row[0] or 0)
+        return self._stats[key]
 
     # -- construction -------------------------------------------------
     @staticmethod

@@ -36,6 +36,28 @@ def assign_masked_constant(
     return joined.select("id", F.when(cond, F.lit(c)).otherwise(F.col("w.val")).alias("val"))
 
 
+def assign_indexed(w: DataFrame, u: DataFrame, indices: DataFrame) -> DataFrame:
+    """w[indices[i]] = u[i] — dense gather-assign (reference
+    operations.hpp:417-439 → backend/cuda/operations.hpp:743-775).
+
+    ``indices`` is a vector (id, val) whose val holds the TARGET
+    position in ``w`` for the element u[id]; elements of ``w`` not
+    targeted keep their value. Collisions (two i mapping to the same
+    target — impossible for the reference's dense index array but
+    possible for arbitrary inputs) resolve to the update from the
+    smallest source id, for determinism."""
+    up = (
+        indices.alias("ix")
+        .join(u.alias("u"), on=F.col("ix.id") == F.col("u.id"), how="inner")
+        .groupBy(F.col("ix.val").cast("long").alias("id"))
+        .agg(F.min_by(F.col("u.val"), F.col("u.id")).alias("__new"))
+    )
+    return (
+        w.join(up, on="id", how="left")
+        .select("id", F.coalesce(F.col("__new"), F.col("val")).alias("val"))
+    )
+
+
 def assign_scatter(w: DataFrame, updates: DataFrame) -> DataFrame:
     """w[updates.target] = updates.val — vector-of-indices scatter
     (reference operations.hpp:769-790; FastSV hooking f[f[u]]=mngf[u],

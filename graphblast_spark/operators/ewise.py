@@ -122,6 +122,29 @@ def extract_subvector(u: DataFrame, ids: DataFrame) -> DataFrame:
     return u.join(ids.select("id"), on="id", how="left_semi")
 
 
+def extract_submatrix(g: "Graph", row_ids: DataFrame, col_ids: DataFrame | None = None):
+    """C = A[rows, cols] — submatrix extract (reference stub,
+    operations.hpp:372-391). Two semi-joins; both prune BEFORE any
+    downstream shuffle (Catalyst pushes the filters into the edge
+    scan when the id sets are literal/broadcastable)."""
+    e = g.edges.join(
+        row_ids.select(F.col(row_ids.columns[0]).alias("src")), on="src", how="left_semi"
+    )
+    if col_ids is not None:
+        e = e.join(
+            col_ids.select(F.col(col_ids.columns[0]).alias("dst")), on="dst", how="left_semi"
+        )
+    return e
+
+
+def extract_matrix_column(g: "Graph", j: int) -> DataFrame:
+    """w = A[:, j] — matrix-column extract as a vector (reference stub,
+    operations.hpp:393-410): a pushed-down filter on dst."""
+    return g.edges.filter(F.col("dst") == F.lit(j)).select(
+        F.col("src").alias("id"), "val"
+    )
+
+
 def set_element(u: DataFrame, idx: int, value) -> DataFrame:
     """Vector::setElement (vector.hpp:132-141) — never a point write:
     a projection with a conditional, preserving immutability."""

@@ -57,6 +57,44 @@ def mxm_masked(
     )
 
 
+def mxm(
+    a: Graph,
+    b: Graph,
+    sr: Semiring | str = "PlusMultiplies",
+) -> DataFrame:
+    """C = A ⊕.⊗ B — general (unmasked) semiring SpGEMM.
+
+    Reference: the cuSPARSE csrgemm path (operations.hpp:44-47 →
+    backend/cuda/spgemm.hpp:112-512) — the one mxm variant with a live
+    unmasked implementation. Returns the edge table of C:
+    (src, dst, val) with val = ⊕_k A(src,k) ⊗ B(k,dst); structural
+    zeros produce no row (sparse semantics).
+
+    Spark shape: one join on the contraction key k (A.dst == B.src) and
+    one groupBy (src, dst) with map-side partial ⊕ — the exchange +
+    hash-agg IS the reference's hash-table row-merge, with Spark doing
+    the load balancing the kernel hand-rolls.
+
+    At 100 TB scale the hazards are (1) skew on hub k — the join
+    explodes d_in(k)·d_out(k) wedges per hub; AQE skew-join splitting
+    handles the join side, and the two-level partial agg absorbs the
+    reduce side; (2) output cardinality — |C| can be ≫ |A|+|B| (up to
+    Σ_k d_in·d_out); callers that only need a restricted pattern should
+    use :func:`mxm_masked`, which prunes BEFORE the wedge explosion."""
+    sr = _resolve(sr)
+    ae = a.edges.select(
+        F.col("src").alias("a_src"), F.col("dst").alias("k"), F.col("val").alias("a_val")
+    )
+    be = b.edges.select(
+        F.col("src").alias("k"), F.col("dst").alias("b_dst"), F.col("val").alias("b_val")
+    )
+    return (
+        ae.join(be, on="k")
+        .groupBy(F.col("a_src").alias("src"), F.col("b_dst").alias("dst"))
+        .agg(sr.add_agg(sr.mul(F.col("a_val"), F.col("b_val"))).alias("val"))
+    )
+
+
 def trace_mxm_transpose(a: Graph, b: Graph, sr: Semiring | str = "PlusMultiplies"):
     """val = Tr(A ⊕.⊗ Bᵀ) = ⊕ over coincident edges of A(i,j)⊗B(i,j)
     (reference operations.hpp:698-711 → trace.hpp:10-53)."""

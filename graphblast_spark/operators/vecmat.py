@@ -64,12 +64,21 @@ def _vecmat(
     desc: Descriptor,
     u_nvals: int | None,
     vec_first: bool,
-    salt: int | None = None,
+    salt: int | str | None = "auto",
 ) -> DataFrame:
     sr = _resolve(sr)
     edges = g.edges
     if desc.transpose_a:
         in_key, out_key = out_key, in_key
+
+    if salt == "auto":
+        # Auto-salt from degree stats: the reduce key is out_key, so the
+        # hottest key's fan-in is its degree in that orientation (one
+        # cached scan per Graph). Below the budget Spark's map-side
+        # partial agg absorbs the skew for free; above it, pick just
+        # enough salt lanes to bring each lane under budget.
+        hub = g.hub_degree(out_key)
+        salt = None if hub <= desc.salt_budget else min(32, -(-hub // desc.salt_budget))
 
     # Direction decision (reference backend/cuda/operations.hpp:131-140).
     push = False
@@ -127,10 +136,12 @@ def vxm(
     mask: DataFrame | None = None,
     desc: Descriptor = DEFAULT_DESC,
     u_nvals: int | None = None,
-    salt: int | None = None,
+    salt: int | str | None = "auto",
 ) -> DataFrame:
     """w(dst)⟨mask⟩ = ⊕_src u(src) ⊗ A(src,dst) — reference operations.hpp:51-87.
-    ``salt``: two-phase salted reduce for extreme hub keys (see _vecmat)."""
+    ``salt``: two-phase salted reduce for extreme hub keys; the default
+    ``"auto"`` derives it from the graph's cached degree stats vs
+    ``desc.salt_budget`` (None/1 disables, an int forces)."""
     return _vecmat(u, g, sr, "src", "dst", mask, desc, u_nvals, vec_first=True, salt=salt)
 
 
@@ -141,9 +152,10 @@ def mxv(
     mask: DataFrame | None = None,
     desc: Descriptor = DEFAULT_DESC,
     u_nvals: int | None = None,
-    salt: int | None = None,
+    salt: int | str | None = "auto",
 ) -> DataFrame:
-    """w(src)⟨mask⟩ = ⊕_dst A(src,dst) ⊗ u(dst) — reference operations.hpp:95-127."""
+    """w(src)⟨mask⟩ = ⊕_dst A(src,dst) ⊗ u(dst) — reference operations.hpp:95-127.
+    ``salt="auto"``: see :func:`vxm`."""
     return _vecmat(u, g, sr, "dst", "src", mask, desc, u_nvals, vec_first=False, salt=salt)
 
 

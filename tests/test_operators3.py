@@ -1,0 +1,194 @@
+"""Round-2 operator tests: unmasked mxm SpGEMM, assign_indexed,
+matrix extract variants, JP coloring, bucketed cosine near-dup,
+auto-salted vecmat (reference test/gspgemm.cu + algorithm/gc.hpp
+Jones-Plassmann semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphblast_spark import Descriptor, Graph
+from graphblast_spark.algorithms import graph_coloring_jp
+from graphblast_spark.operators import (
+    assign_indexed,
+    extract_matrix_column,
+    extract_submatrix,
+    mxm,
+    vxm,
+)
+from graphblast_spark.sources.fixtures import FIXTURES
+from graphblast_spark.sources.mtx import fixture_graph
+
+FX = FIXTURES["test_bc"]
+N = FX["n"]
+
+
+def dense_mat(fx):
+    A = np.zeros((fx["n"], fx["n"]))
+    for s, d, v in fx["edges"]:
+        if s != d:
+            A[s, d] = v
+    return A
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return fixture_graph(spark, "test_bc")
+
+
+def vec_df(spark, pairs, typ="double"):
+    conv = float if typ == "double" else (lambda x: x)
+    return spark.createDataFrame([(int(i), conv(v)) for i, v in pairs], f"id long, val {typ}")
+
+
+# --- unmasked SpGEMM (test/gspgemm.cu semantics: C = A·B) ---------------
+def test_mxm_unmasked_vs_numpy(spark, g):
+    A = dense_mat(FX)
+    C = A @ A
+    got = {(r.src, r.dst): r.val for r in mxm(g, g).collect()}
+    for i in range(N):
+        for j in range(N):
+            if C[i, j] != 0:
+                assert got[(i, j)] == pytest.approx(C[i, j])
+            else:
+                assert (i, j) not in got
+
+
+def test_mxm_minplus_semiring(spark, g):
+    # MinPlus SpGEMM = 2-hop shortest path lengths through one hop
+    A = dense_mat(FX)
+    INF = float("inf")
+    W = np.where(A != 0, A, INF)
+    got = {(r.src, r.dst): r.val for r in mxm(g, g, "MinimumPlus").collect()}
+    for i in range(N):
+        for j in range(N):
+            best = min((W[i, k] + W[k, j] for k in range(N)), default=INF)
+            if best < INF:
+                assert got[(i, j)] == pytest.approx(best)
+            else:
+                assert (i, j) not in got
+
+
+# --- assign_indexed (operations.hpp:417-439) ----------------------------
+def test_assign_indexed(spark):
+    w = vec_df(spark, [(0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0)])
+    u = vec_df(spark, [(0, 1.0), (1, 2.0)])
+    # indices: element u[0] goes to w[3], element u[1] goes to w[1]
+    idx = vec_df(spark, [(0, 3), (1, 1)], "long")
+    got = {r["id"]: r["val"] for r in assign_indexed(w, u, idx).collect()}
+    assert got == {0: 10.0, 1: 2.0, 2: 30.0, 3: 1.0}
+
+
+def test_assign_indexed_collision_min_source(spark):
+    w = vec_df(spark, [(0, 10.0), (1, 20.0)])
+    u = vec_df(spark, [(5, 7.0), (6, 9.0)])
+    idx = vec_df(spark, [(5, 1), (6, 1)], "long")  # both target w[1]
+    got = {r["id"]: r["val"] for r in assign_indexed(w, u, idx).collect()}
+    assert got == {0: 10.0, 1: 7.0}  # smallest source id (5) wins
+
+
+# --- matrix extract variants (operations.hpp:360-410 stubs) -------------
+def test_extract_submatrix_and_column(spark, g):
+    rows = spark.createDataFrame([(0,), (1,)], "id long")
+    cols = spark.createDataFrame([(2,), (3,)], "id long")
+    sub = {(r.src, r.dst) for r in extract_submatrix(g, rows, cols).collect()}
+    expect = {
+        (s, d) for s, d, _ in FX["edges"] if s in {0, 1} and d in {2, 3} and s != d
+    }
+    assert sub == expect
+
+    col3 = {r["id"]: r["val"] for r in extract_matrix_column(g, 3).collect()}
+    expect_col = {s: v for s, d, v in FX["edges"] if d == 3 and s != d}
+    assert col3 == expect_col
+
+
+# --- Jones-Plassmann coloring ------------------------------------------
+def _proper(colors: dict, edges) -> bool:
+    return all(
+        colors[s] != colors[d]
+        for s, d, _ in edges
+        if s != d and colors[s] != 0 and colors[d] != 0
+    )
+
+
+def test_jp_coloring_proper_and_complete(spark, g):
+    out = {r["id"]: r["color"] for r in graph_coloring_jp(g).collect()}
+    assert set(out) == set(range(N))
+    assert all(c >= 1 for c in out.values())  # converged: everyone colored
+    assert _proper(out, FX["edges"])
+    # JP never uses more colors than rounds ran; on this 7-vertex graph
+    # it should be ≤ max_degree+1
+    deg = {}
+    for s, d, _ in FX["edges"]:
+        if s != d:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+    assert max(out.values()) <= max(deg.values()) + 1
+
+
+def test_jp_fixed_rounds_partial(spark, g):
+    out = {r["id"]: r["color"] for r in graph_coloring_jp(g, fixed_rounds=1).collect()}
+    # after one round: winners colored 1 (no colored neighbors yet),
+    # everyone else still 0; winners form an independent set
+    winners = {v for v, c in out.items() if c != 0}
+    assert winners and all(out[v] == 1 for v in winners)
+    adj = {(s, d) for s, d, _ in FX["edges"] if s != d}
+    assert not any((a, b) in adj for a in winners for b in winners)
+
+
+# --- bucketed cosine near-dup ------------------------------------------
+def test_cosine_neardup_bucketed_subset_of_exact(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8)).astype("float32")
+    # ids chosen so the deterministic centroids (first n_cells ids) are
+    # DISTINCT base vectors — a near-dup pair where both members are
+    # centroids lands in two cells by construction (the documented
+    # bucketing approximation), which is not what's under test here
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # near-duplicate: tiny perturbation → cosine ≈ 1
+        rows.append((100 + i, [float(x) for x in v + 0.001 * rng.normal(size=8).astype("float32")]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.a, r.b) for r in cosine_pairs(df, None).collect()}
+    bucketed = {(r.a, r.b) for r in cosine_pairs(df, 4).collect()}
+    # bucketed is a subset of exact, and catches the planted dup pairs
+    assert bucketed <= exact
+    planted = {(i, 100 + i) for i in range(6)}
+    assert planted <= bucketed
+
+
+def cosine_pairs(df, n_cells):
+    from graphblast_spark.functions.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(df, threshold=0.99, n_cells=n_cells)
+
+
+# --- auto-salt plan shape ----------------------------------------------
+def test_vecmat_forced_salt_two_phase_plan(spark, g):
+    u = vec_df(spark, [(i, float(i + 1)) for i in range(N)])
+    out = vxm(u, g, "PlusMultiplies", u_nvals=N, salt=4)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # two-phase reduce: the salt lane column appears in the plan
+    assert "_salt" in plan
+    # and the values still match the unsalted path
+    ref = {r["id"]: r["val"] for r in vxm(u, g, u_nvals=N, salt=None).collect()}
+    got = {r["id"]: r["val"] for r in out.collect()}
+    assert got == pytest.approx(ref)
+
+
+def test_vecmat_auto_salt_triggers_on_budget(spark, g):
+    u = vec_df(spark, [(i, float(i + 1)) for i in range(N)])
+    # tiny budget: every hub exceeds it → the auto path must salt
+    desc = Descriptor(salt_budget=1)
+    out = vxm(u, g, "PlusMultiplies", u_nvals=N, desc=desc, salt="auto")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "_salt" in plan
+    ref = {r["id"]: r["val"] for r in vxm(u, g, u_nvals=N, salt=None).collect()}
+    assert {r["id"]: r["val"] for r in out.collect()} == pytest.approx(ref)
+    # default budget on a tiny graph: no salting (single-phase reduce)
+    out2 = vxm(u, g, "PlusMultiplies", u_nvals=N, salt="auto")
+    plan2 = out2._jdf.queryExecution().analyzed().toString()
+    assert "_salt" not in plan2
