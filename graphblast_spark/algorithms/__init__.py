@@ -5,7 +5,11 @@ from graphblast_spark.algorithms.tc import triangle_count
 from graphblast_spark.algorithms.bfs import bfs
 from graphblast_spark.algorithms.sssp import sssp
 from graphblast_spark.algorithms.mis import mis
-from graphblast_spark.algorithms.gc import graph_coloring, graph_coloring_jp
+from graphblast_spark.algorithms.gc import (
+    graph_coloring,
+    graph_coloring_jp,
+    graph_coloring_mis,
+)
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import diameter, multi_source_bfs
 
@@ -21,6 +25,7 @@ __all__ = [
     "mis",
     "graph_coloring",
     "graph_coloring_jp",
+    "graph_coloring_mis",
     "lgc",
     "diameter",
     "multi_source_bfs",

@@ -28,7 +28,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphblast_spark.algorithms.mis import lcg_weight
+from graphblast_spark.algorithms.mis import lcg_weight, mis
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
 from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
@@ -106,6 +106,55 @@ def graph_coloring(
         "id", F.coalesce("color", F.lit(0)).alias("color")
     )
     adj.unpersist()
+    return out
+
+
+def graph_coloring_mis(
+    g: Graph,
+    desc: Descriptor = DEFAULT_DESC,
+    max_colors: int | None = None,
+) -> DataFrame:
+    """MIS-based coloring (reference gc.hpp:160-238 ``gcMis``): repeat —
+    compute a maximal independent set of the residual graph, color it
+    with the next color, remove it — until no vertices remain.
+
+    Each color class is a full MIS (not just one winner round), so this
+    typically needs the fewest color ROUNDS of the three variants, at
+    the cost of a nested loop (a full Luby MIS per color). Returns
+    (id long, color int), colors 1-based; with ``max_colors`` the sweep
+    stops early and leftover vertices report color 0.
+
+    Scale shape: the residual graph shrinks geometrically (each MIS
+    plus its neighborhood leaves), so the total work is a small constant
+    times one MIS of the full graph; the residual edge view is a
+    semi-join filter, re-persisted per color round."""
+    spark = g.edges.sparkSession
+    limit = max_colors if max_colors is not None else desc.max_niter
+    colored = spark.createDataFrame([], "id long, color int")
+    remaining = g.vertices.select("id")
+    edges = g.edges
+    n_left = g.n
+    for k in range(1, limit + 1):
+        if n_left == 0:
+            break
+        sub = Graph(edges=edges, vertices=remaining, n=n_left, nvals=-1)
+        in_set = mis(sub, desc=desc).filter(F.col("in_mis") == 1).select("id")
+        in_set = in_set.localCheckpoint(eager=True)
+        colored = colored.unionByName(in_set.withColumn("color", F.lit(k)))
+        remaining = remaining.join(in_set, on="id", how="left_anti").localCheckpoint(
+            eager=True
+        )
+        n_left = remaining.count()
+        # residual edge view: both endpoints still uncolored
+        r_src = remaining.select(F.col("id").alias("src"))
+        r_dst = remaining.select(F.col("id").alias("dst"))
+        edges = (
+            g.edges.join(r_src, on="src", how="left_semi")
+            .join(r_dst, on="dst", how="left_semi")
+        )
+    out = g.vertices.join(colored, on="id", how="left").select(
+        "id", F.coalesce("color", F.lit(0)).alias("color")
+    )
     return out
 
 

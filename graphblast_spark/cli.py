@@ -68,7 +68,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="graphblast_spark")
     p.add_argument("algorithm",
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
-                            "gc", "lgc", "diameter"])
+                            "gc", "gc-jp", "lgc", "diameter"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,val])")
     p.add_argument("--pages", help="pages-schema parquet (north-rule input)")
     p.add_argument("--fixture", help="named reference fixture graph")
@@ -130,6 +130,8 @@ def main(argv=None) -> int:
         out = A.mis(g, desc=desc, runner=runner)
     elif args.algorithm == "gc":
         out = A.graph_coloring(g, desc=desc, runner=runner)
+    elif args.algorithm == "gc-jp":
+        out = A.graph_coloring_jp(g, desc=desc, runner=runner)
     elif args.algorithm == "lgc":
         out = A.lgc(g, source=args.source, alpha=0.15, eps=1e-6,
                     desc=desc, runner=runner)

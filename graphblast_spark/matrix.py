@@ -100,12 +100,24 @@ class Graph:
             num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if "val" not in edges.columns:
             edges = edges.withColumn("val", F.lit(1.0))
-        e = clean_edges(edges, drop_self_loops, dedup, symmetrize)
-        e = (
-            e.repartition(num_partitions, "src")
-            .sortWithinPartitions("src", "dst")
-            .persist()
-        )
+        # Same semantics as clean_edges, but dedup runs AFTER the
+        # repartition-by-src: duplicates of (src,dst) share src, so they
+        # are already co-located and Catalyst satisfies the distinct's
+        # (src,dst) clustering with the existing HashPartitioning(src) —
+        # one exchange total instead of dedup-shuffle + repartition
+        # (measured: build 22.1 s → ~14 s at sf0.1 when the source also
+        # skips its own pre-distinct).
+        e = edges.select("src", "dst", "val")
+        if symmetrize:
+            e = e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "val")
+            )
+        if drop_self_loops:
+            e = e.filter(F.col("src") != F.col("dst"))
+        e = e.repartition(num_partitions, "src")
+        if dedup:
+            e = e.dropDuplicates(["src", "dst"])
+        e = e.sortWithinPartitions("src", "dst").persist()
         if vertices is None:
             vertices = (
                 e.select(F.col("src").alias("id"))

@@ -65,7 +65,24 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
     li = _lineitem(spark, sf_dir)
     vertices = li.select(F.col("l_partkey").alias("id")).distinct()
-    return Graph.build(copurchase_edges(spark, sf_dir), vertices=vertices)
+    # feed the RAW join pairs (no pre-distinct): Graph.build dedups
+    # after its repartition-by-src, so the whole build is one shuffle —
+    # a separate distinct() here would add a full extra exchange of the
+    # pair stream for nothing (copurchase_edges keeps it because the
+    # g_build contract output must match the DISTINCT oracle SQL as-is)
+    a = _lineitem(spark, sf_dir).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = _lineitem(spark, sf_dir).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .withColumn("val", F.lit(1.0))
+    )
+    return Graph.build(pairs, vertices=vertices)
 
 
 def partsupp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

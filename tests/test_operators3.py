@@ -192,3 +192,23 @@ def test_vecmat_auto_salt_triggers_on_budget(spark, g):
     out2 = vxm(u, g, "PlusMultiplies", u_nvals=N, salt="auto")
     plan2 = out2._jdf.queryExecution().analyzed().toString()
     assert "_salt" not in plan2
+
+
+def test_mis_coloring_proper_and_complete(spark, g):
+    from graphblast_spark.algorithms import graph_coloring_mis
+
+    out = {r["id"]: r["color"] for r in graph_coloring_mis(g).collect()}
+    assert set(out) == set(range(N))
+    assert all(c >= 1 for c in out.values())
+    assert _proper(out, FX["edges"])
+    # each color class is an independent set AND maximal in its residual
+    adj = {(s, d) for s, d, _ in FX["edges"] if s != d}
+    adj |= {(d, s) for s, d in adj}
+    for k in set(out.values()):
+        cls = {v for v, c in out.items() if c == k}
+        assert not any((a, b) in adj for a in cls for b in cls if a != b)
+        # maximality: every vertex with a LARGER color has a neighbor in
+        # this class (else it would have joined this MIS)
+        for v, c in out.items():
+            if c > k:
+                assert any((v, u) in adj for u in cls)
