@@ -230,6 +230,70 @@ def q_g_coloring(spark, sf_dir):
     )
 
 
+def q_g_apply_vxm(spark, sf_dir):
+    from graphblast_spark.operators import apply_vxm
+
+    g = copurchase_graph(spark, sf_dir)
+    out = apply_vxm(
+        _u_mod7(g), g, unary=lambda c: c * 2 + 1, sr="PlusMultiplies", u_nvals=g.n
+    )
+    return out.select("id", F.round("val", 6).alias("val"))
+
+
+def q_g_assign_masked(spark, sf_dir):
+    from graphblast_spark.operators import assign_masked_constant
+
+    g = copurchase_graph(spark, sf_dir)
+    mask = g.vertices.filter(F.col("id") % 5 == 0)
+    out = assign_masked_constant(_u_mod7(g), mask, 99.0)
+    return out.select("id", F.round("val", 6).alias("val"))
+
+
+def q_g_scatter(spark, sf_dir):
+    from graphblast_spark.operators import scatter_constant
+
+    g = copurchase_graph(spark, sf_dir)
+    u = g.vertices.select("id", (F.col("id") % 11).cast("long").alias("val"))
+    return scatter_constant(u, 1.0).select(
+        "id", F.round("val", 6).alias("val")
+    )
+
+
+def q_g_extract_subvector(spark, sf_dir):
+    from graphblast_spark.operators import extract_subvector
+
+    g = copurchase_graph(spark, sf_dir)
+    ids = g.vertices.filter(F.col("id") % 4 == 0)
+    return extract_subvector(_u_mod7(g), ids).select(
+        "id", F.round("val", 6).alias("val")
+    )
+
+
+def q_g_count_unique(spark, sf_dir):
+    from graphblast_spark.operators import count_unique
+
+    g = copurchase_graph(spark, sf_dir)
+    u = g.vertices.select("id", (F.col("id") % 100).alias("val"))
+    n = count_unique(u)
+    return spark.createDataFrame([(int(n),)], "n_unique long")
+
+
+def q_g_ewise_mult_mv(spark, sf_dir):
+    from graphblast_spark.operators import ewise_mult_matrix_vector
+
+    g = _weighted(copurchase_graph(spark, sf_dir))
+    out = ewise_mult_matrix_vector(g, _u_mod7(g), "PlusMultiplies", axis="row")
+    return out.select("src", "dst", F.round("val", 6).alias("val"))
+
+
+def q_g_reduce_vec_scalar(spark, sf_dir):
+    from graphblast_spark.operators import reduce_vector_to_scalar
+
+    g = copurchase_graph(spark, sf_dir)
+    v = reduce_vector_to_scalar(_u_mod7(g), "Plus")
+    return spark.createDataFrame([(round(float(v), 6),)], "total double")
+
+
 def q_g_mxm_2hop(spark, sf_dir):
     # general (unmasked) SpGEMM: 2-hop path counts from a deterministic
     # source slice (src % 50 == 0) — restricting A's rows keeps the
@@ -403,6 +467,13 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_events_user_stats(spark, sf_dir):
+    from graphblast_spark.streaming.state import running_user_stats_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return running_user_stats_batch(ev)
+
+
 def q_lineitem_agg(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -448,6 +519,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_coloring": q_g_coloring,
         "g_coloring_jp": q_g_coloring_jp,
         "g_mxm_2hop": q_g_mxm_2hop,
+        "g_apply_vxm": q_g_apply_vxm,
+        "g_assign_masked": q_g_assign_masked,
+        "g_scatter": q_g_scatter,
+        "g_extract_subvector": q_g_extract_subvector,
+        "g_count_unique": q_g_count_unique,
+        "g_ewise_mult_mv": q_g_ewise_mult_mv,
+        "g_reduce_vec_scalar": q_g_reduce_vec_scalar,
         "g_lgc": q_g_lgc,
         "g_msbfs": q_g_msbfs,
         "g_diameter": q_g_diameter,
@@ -465,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample": q_m_frame_sample,
         "m_decode_stats": q_m_decode_stats,
         "q_events_window": q_events_window,
+        "q_events_user_stats": q_events_user_stats,
         "q_lineitem_agg": q_lineitem_agg,
     }
 
@@ -944,6 +1023,34 @@ def oracle_sql() -> dict[str, str]:
         "g_mis": _sql_mis(10),
         "g_coloring": _sql_coloring(4),
         "g_coloring_jp": _sql_coloring_jp(3),
+        "g_apply_vxm": f"""
+            WITH {_EDGES}
+            SELECT dst AS id,
+                   round(sum((CAST((src % 7) + 1 AS DOUBLE) * 2 + 1) * CAST(1.0 AS DOUBLE)), 6) AS val
+            FROM edges GROUP BY dst""",
+        "g_assign_masked": f"""
+            WITH {_VERTICES}
+            SELECT id, round(CASE WHEN id % 5 = 0 THEN CAST(99.0 AS DOUBLE)
+                                  ELSE CAST((id % 7) + 1 AS DOUBLE) END, 6) AS val
+            FROM vertices""",
+        "g_scatter": f"""
+            WITH {_VERTICES}
+            SELECT DISTINCT id % 11 AS id, CAST(1.0 AS DOUBLE) AS val FROM vertices""",
+        "g_extract_subvector": f"""
+            WITH {_VERTICES}
+            SELECT id, round(CAST((id % 7) + 1 AS DOUBLE), 6) AS val
+            FROM vertices WHERE id % 4 = 0""",
+        "g_count_unique": f"""
+            WITH {_VERTICES}
+            SELECT count(DISTINCT id % 100) AS n_unique FROM vertices""",
+        "g_ewise_mult_mv": f"""
+            WITH {_EDGES}
+            SELECT src, dst,
+                   round(CAST((src + dst) % 10 AS DOUBLE) * CAST((src % 7) + 1 AS DOUBLE), 6) AS val
+            FROM edges""",
+        "g_reduce_vec_scalar": f"""
+            WITH {_VERTICES}
+            SELECT round(sum(CAST((id % 7) + 1 AS DOUBLE)), 6) AS total FROM vertices""",
         "g_mxm_2hop": f"""
             WITH {_EDGES}
             SELECT e1.src AS src, e2.dst AS dst,
@@ -1059,6 +1166,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 6) AS total
             FROM events GROUP BY 1, 2""",
+        "q_events_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value, max(ts) AS last_ts
+            FROM events GROUP BY user_id""",
         "q_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6) AS sum_qty,

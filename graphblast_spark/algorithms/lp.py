@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
@@ -113,7 +113,6 @@ def label_propagation_majority(
         lambda: {"labels": g.vertices.select("id", F.col("id").alias("val"))}
     )
     labels = state["labels"]
-    win = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
     with stable_partitions(spark):
         for it in range(start_iter, iters):
             t0 = time.time()
@@ -123,10 +122,15 @@ def label_propagation_majority(
                 .groupBy(e_sym["src"].alias("id"), lb["val"].alias("lbl"))
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
+            # argmax by (cnt desc, lbl asc) as an aggregated max over
+            # (cnt, -lbl) — a hash agg with map-side partial combine,
+            # replacing a row_number window whose per-id sort shuffle
+            # was the one sort left in the superstep (the window also
+            # blocked AQE from reusing the votes exchange)
             winner = (
-                votes.withColumn("rn", F.row_number().over(win))
-                .filter(F.col("rn") == 1)
-                .select("id", F.col("lbl").alias("new"))
+                votes.groupBy("id")
+                .agg(F.max(F.struct(F.col("cnt").alias("c"), (-F.col("lbl")).alias("nl"))).alias("b"))
+                .select("id", (-F.col("b.nl")).alias("new"))
             )
             new_labels = labels.join(winner, on="id", how="left").select(
                 "id", F.coalesce("new", "val").alias("val")

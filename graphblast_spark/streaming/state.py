@@ -43,6 +43,21 @@ def _update(
     )
 
 
+def running_user_stats_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`running_user_stats`'s FINAL state: per-user
+    totals after every event is processed — what the stateful stream
+    converges to when the source drains. SQL-expressible, so it anchors
+    the stateful operator to the driver's DuckDB oracle (the stream
+    itself is checked for parity against this in test_streaming)."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 def running_user_stats(events_stream: DataFrame) -> DataFrame:
     """events stream → per-user running (count, sum, last_ts), emitted
     every micro-batch the user appears in."""
