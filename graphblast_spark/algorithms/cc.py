@@ -91,10 +91,12 @@ def connected_components(
             # Σ label is an exact fixpoint witness: unchanged sum ⟺ no
             # label moved. One agg over the just-checkpointed table — no
             # 1M×1M diff join per superstep. Summed as decimal(38,0):
-            # at 10^12 vertices × 10^12-sized labels the int64 sum wraps
-            # (~10^24 ≫ 2^63) and a wrapped collision could fake
-            # convergence; decimal keeps the witness exact at any scale
-            # for the same single-agg cost.
+            # at 10^12 vertices × 10^12-sized labels the int64 sum
+            # overflows (~10^24 ≫ 2^63) — ANSI Spark (4.x default) kills
+            # the job mid-superstep, non-ANSI wraps silently and a
+            # wrapped collision could fake convergence; decimal keeps
+            # the witness exact at any scale for the same single-agg
+            # cost (tests/test_operators3.py pins both behaviors).
             label_sum = int(
                 new_parent.agg(F.sum(F.col("val").cast("decimal(38,0)"))).first()[0]
             )

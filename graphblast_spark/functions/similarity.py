@@ -92,6 +92,55 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, nprobe: int, id_col:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= nprobe).select("vid", "vv", "cell")
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means coarse quantizer → (cell, centroid).
+
+    Seedless init (the first ``k`` vectors by id), fixed iteration
+    count — fully reproducible. Per iteration: assign every vector to
+    its argmax-cosine centroid (broadcast score + aggregated argmax, no
+    window), then recompute each centroid as the element-wise mean of
+    its cell via posexplode → (cell, pos) partial-avg — the n·dim-row
+    shuffle combines map-side, so the cost is one pass over the corpus
+    per iteration. Cells that lose all members keep their previous
+    centroid. The first-n-by-id quantizer in :func:`ivf_topk` stays the
+    SQL-oracle path; this is the production replacement with the same
+    output schema."""
+    cents = (
+        vectors.orderBy(id_col).limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
+            F.col(vec_col).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(vectors, cents, 1, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode("vv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("new_centroid")
+            )
+        )
+        cents = (
+            cents.join(means, on="cell", how="left")
+            .select("cell", F.coalesce("new_centroid", "centroid").alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -100,16 +149,21 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate (query_id, neighbor_id, cos) top-k: search only the
-    query's ``nprobe`` nearest IVF cells."""
-    centroids = (
-        corpus.orderBy(id_col).limit(n_cells)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
-            F.col(vec_col).alias("centroid"),
+    query's ``nprobe`` nearest IVF cells. ``centroids`` (cell, centroid)
+    overrides the default deterministic first-n quantizer — pass
+    :func:`kmeans_centroids` output for the production-quality cells."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col).limit(n_cells)
+            .select(
+                (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
+                F.col(vec_col).alias("centroid"),
+            )
         )
-    ).persist()
+    centroids = centroids.persist()
     assigned = _assign_cells(corpus, centroids, 1, id_col, vec_col).select(
         F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv"), "cell"
     )

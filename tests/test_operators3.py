@@ -212,3 +212,72 @@ def test_mis_coloring_proper_and_complete(spark, g):
         for v, c in out.items():
             if c > k:
                 assert any((v, u) in adj for u in cls)
+
+
+# --- convergence-witness overflow & 64-bit-id weight ties ---------------
+def test_decimal_label_sum_does_not_wrap(spark):
+    # two labels of 2^62 overflow an int64 sum: ANSI Spark (4.x default)
+    # kills the whole job mid-superstep, non-ANSI silently wraps (and a
+    # wrapped collision could fake convergence). The decimal(38,0)
+    # witness used by cc/lp is exact and safe under either mode.
+    big = 1 << 62
+    df = spark.createDataFrame([(0, big), (1, big)], "id long, val long")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.agg(F.sum("val")).first()
+    exact = int(df.agg(F.sum(F.col("val").cast("decimal(38,0)"))).first()[0])
+    assert exact == 2 * big
+
+
+def test_mis_terminates_on_lcg_weight_tie(spark):
+    from graphblast_spark.algorithms import mis
+    from graphblast_spark.algorithms.mis import _MERSENNE31
+
+    # ids differing by the Mersenne modulus collide in lcg_weight; under
+    # the old strict w > m rule neither adjacent vertex could ever win
+    a, b = 5, 5 + _MERSENNE31
+    edges = spark.createDataFrame([(a, b, 1.0)], "src long, dst long, val double")
+    g = Graph.build(edges, symmetrize=True)
+    out = {r["id"]: r["in_mis"] for r in mis(g).collect()}
+    # the (weight, id) tiebreak admits exactly one of the tied pair
+    assert sorted(out) == [a, b]
+    assert out[a] + out[b] == 1
+
+
+# --- k-means IVF quantizer ---------------------------------------------
+def test_kmeans_centroids_and_ivf_recall(spark):
+    from graphblast_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    # three well-separated clusters of 20 vectors each
+    means = np.eye(3, 8) * 10.0
+    rows = []
+    for c in range(3):
+        for j in range(20):
+            v = (means[c] + 0.1 * rng.normal(size=8)).astype("float32")
+            rows.append((c * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(df, k=3, iters=4)
+    got = {r["cell"]: np.array(r["centroid"]) for r in cents.collect()}
+    assert len(got) == 3
+    # each learned centroid aligns with one true cluster mean (cos > .99)
+    for c in got.values():
+        best = max(
+            float(m @ c / (np.linalg.norm(m) * np.linalg.norm(c)))
+            for m in means
+        )
+        assert best > 0.99
+    # IVF with k-means cells reproduces exact top-3 for every query
+    qs = df.orderBy("vec_id").limit(6)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(df, qs, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(df, qs, k=3, nprobe=1, centroids=cents).collect()
+    }
+    assert approx == exact
