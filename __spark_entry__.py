@@ -294,6 +294,15 @@ def q_g_reduce_vec_scalar(spark, sf_dir):
     return spark.createDataFrame([(round(float(v), 6),)], "total double")
 
 
+def q_g_ewise_add_mat(spark, sf_dir):
+    from graphblast_spark.operators import ewise_add_matrix
+
+    g = _weighted(copurchase_graph(spark, sf_dir))
+    b = g.edges.filter(F.col("src") > F.col("dst")).withColumn("val", F.lit(2.0))
+    out = ewise_add_matrix(g, b, "PlusMultiplies")
+    return out.select("src", "dst", F.round("val", 6).alias("val"))
+
+
 def q_g_mxm_2hop(spark, sf_dir):
     # general (unmasked) SpGEMM: 2-hop path counts from a deterministic
     # source slice (src % 50 == 0) — restricting A's rows keeps the
@@ -365,6 +374,12 @@ def q_m_decode_stats(spark, sf_dir):
         "asset_id", "kind", F.round("mean_px", 6).alias("mean_px"),
         F.round("std_px", 6).alias("std_px"),
     )
+
+
+def q_m_byte_hist(spark, sf_dir):
+    from graphblast_spark.functions.multimodal import byte_histogram
+
+    return byte_histogram(_assets(spark, sf_dir))
 
 
 def q_g_msbfs(spark, sf_dir):
@@ -519,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_coloring": q_g_coloring,
         "g_coloring_jp": q_g_coloring_jp,
         "g_mxm_2hop": q_g_mxm_2hop,
+        "g_ewise_add_mat": q_g_ewise_add_mat,
         "g_apply_vxm": q_g_apply_vxm,
         "g_assign_masked": q_g_assign_masked,
         "g_scatter": q_g_scatter,
@@ -542,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_cosine_neardup": q_e_cosine_neardup,
         "m_frame_sample": q_m_frame_sample,
         "m_decode_stats": q_m_decode_stats,
+        "m_byte_hist": q_m_byte_hist,
         "q_events_window": q_events_window,
         "q_events_user_stats": q_events_user_stats,
         "q_lineitem_agg": q_lineitem_agg,
@@ -1023,6 +1040,24 @@ def oracle_sql() -> dict[str, str]:
         "g_mis": _sql_mis(10),
         "g_coloring": _sql_coloring(4),
         "g_coloring_jp": _sql_coloring_jp(3),
+        "g_ewise_add_mat": f"""
+            WITH {_EDGES},
+            a AS (SELECT src, dst, CAST((src + dst) % 10 AS DOUBLE) AS v FROM edges),
+            b AS (SELECT src, dst, CAST(2.0 AS DOUBLE) AS v FROM edges WHERE src > dst)
+            SELECT coalesce(a.src, b.src) AS src, coalesce(a.dst, b.dst) AS dst,
+                   round(coalesce(a.v, CAST(0.0 AS DOUBLE)) + coalesce(b.v, CAST(0.0 AS DOUBLE)), 6) AS val
+            FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst""",
+        "m_byte_hist": """
+            WITH codes AS (
+              SELECT doc_id AS asset_id,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> ord(substr(text, CAST(i AS INT), 1))) AS cs
+              FROM documents
+            )
+            SELECT asset_id,
+                   list_transform(range(0, 16),
+                                  j -> CAST(len(list_filter(cs, c -> c % 16 = j)) AS BIGINT)) AS hist
+            FROM codes""",
         "g_apply_vxm": f"""
             WITH {_EDGES}
             SELECT dst AS id,

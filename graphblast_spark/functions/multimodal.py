@@ -92,6 +92,23 @@ def decode_stats(assets: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+def byte_histogram(assets: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
+    """assets → (asset_id, hist array<long>[bins]): payload byte counts
+    mod ``bins`` — the integer core of :func:`extract_features` before
+    normalization. Exact (no float), so an ANSI-SQL oracle replays it
+    bit-for-bit; empty payloads yield an all-zero histogram."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hists = []
+            for payload in b["payload"]:
+                raw = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                hists.append(np.bincount(raw % bins, minlength=bins).astype("int64"))
+            yield pd.DataFrame({"asset_id": b["asset_id"], "hist": hists})
+
+    return assets.mapInPandas(run, schema="asset_id long, hist array<long>")
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """assets → (asset_id, embedding array<float>) — FEATURE_DIM-wide
     deterministic features from the fake decoder (byte-histogram

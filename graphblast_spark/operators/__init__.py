@@ -3,6 +3,7 @@ from graphblast_spark.operators.ewise import (
     apply_unary,
     count_unique,
     ewise_add,
+    ewise_add_matrix,
     ewise_add_scalar,
     ewise_mult,
     ewise_mult_matrix_vector,
@@ -29,7 +30,8 @@ from graphblast_spark.operators.spgemm import mxm, mxm_masked, trace_mxm_transpo
 
 __all__ = [
     "vxm", "mxv", "apply_vxm",
-    "apply_unary", "ewise_add", "ewise_add_scalar", "ewise_mult", "ewise_mult_scalar",
+    "apply_unary", "ewise_add", "ewise_add_matrix", "ewise_add_scalar",
+    "ewise_mult", "ewise_mult_scalar",
     "ewise_mult_matrix_vector", "extract_submatrix", "extract_matrix_column",
     "extract_subvector", "set_element",
     "extract_element", "count_unique",

@@ -67,6 +67,34 @@ def ewise_add(
     return _mask_join(out, mask, mask_complement)
 
 
+def ewise_add_matrix(a, b, sr: Semiring | str = "PlusMultiplies") -> DataFrame:
+    """C = A ⊕ B on the union of edge structures (missing side =
+    ⊕-identity). The reference declares this but returns
+    NOT_IMPLEMENTED (operations.hpp:301-319); here it falls out of the
+    same full-outer-join shape as the vector eWiseAdd, keyed on
+    (src, dst). ``a``/``b`` are Graphs or edge DataFrames; returns an
+    edge DataFrame (src, dst, val).
+
+    At scale both sides hash-shuffle on (src, dst) once; if both edge
+    tables share the build's src partitioning the exchange reuses it on
+    the src component."""
+    sr = _resolve(sr)
+    ae = (a.edges if hasattr(a, "edges") else a).alias("a")
+    be = (b.edges if hasattr(b, "edges") else b).alias("b")
+    ident = F.lit(sr.identity)
+    return ae.join(
+        be,
+        on=(F.col("a.src") == F.col("b.src")) & (F.col("a.dst") == F.col("b.dst")),
+        how="full_outer",
+    ).select(
+        F.coalesce(F.col("a.src"), F.col("b.src")).alias("src"),
+        F.coalesce(F.col("a.dst"), F.col("b.dst")).alias("dst"),
+        sr.add(
+            F.coalesce(F.col("a.val"), ident), F.coalesce(F.col("b.val"), ident)
+        ).alias("val"),
+    )
+
+
 def ewise_mult_scalar(u: DataFrame, c, sr: Semiring | str = "PlusMultiplies") -> DataFrame:
     """w = u ⊗ c — reference operations.hpp:204-228 (matrix×scalar is
     Graph.scale_vals). Pure projection."""

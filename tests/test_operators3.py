@@ -281,3 +281,31 @@ def test_kmeans_centroids_and_ivf_recall(spark):
         for r in ivf_topk(df, qs, k=3, nprobe=1, centroids=cents).collect()
     }
     assert approx == exact
+
+
+# --- matrix eWiseAdd (NOT_IMPLEMENTED stub in reference) ----------------
+def test_ewise_add_matrix_union_semantics(spark, g):
+    from graphblast_spark.operators import ewise_add_matrix
+
+    A = dense_mat(FX)
+    b = g.edges.filter(F.col("src") > F.col("dst")).withColumn("val", F.lit(10.0))
+    got = {(r.src, r.dst): r.val for r in ewise_add_matrix(g, b).collect()}
+    for s, d, v in FX["edges"]:
+        if s == d:
+            continue
+        expect = A[s, d] + (10.0 if s > d else 0.0)
+        assert got[(s, d)] == pytest.approx(expect)
+
+
+def test_byte_histogram_exact(spark):
+    from graphblast_spark.functions.multimodal import byte_histogram
+
+    rows = [(1, b"abc"), (2, b""), (3, bytes(range(32)))]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: list(r["hist"]) for r in byte_histogram(assets).collect()}
+    h1 = [0] * 16
+    for c in b"abc":
+        h1[c % 16] += 1
+    assert got[1] == h1
+    assert got[2] == [0] * 16
+    assert got[3] == [2] * 16  # 0..31 covers each residue exactly twice
