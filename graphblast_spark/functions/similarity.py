@@ -163,7 +163,9 @@ def ivf_topk(
                 F.col(vec_col).alias("centroid"),
             )
         )
-    centroids = centroids.persist()
+    # materialized once (k rows): both _assign_cells passes broadcast it;
+    # localCheckpoint (not persist) so the blocks release with the result
+    centroids = centroids.localCheckpoint(eager=True)
     assigned = _assign_cells(corpus, centroids, 1, id_col, vec_col).select(
         F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv"), "cell"
     )

@@ -79,13 +79,17 @@ def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> Data
     spark = urls.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # eager localCheckpoint (not persist): freezes the partition layout
+    # between the offsets pass and the id-assignment pass (the two-pass
+    # dense rank depends on identical partitioning), and the blocks
+    # release with the result instead of leaking a cache entry per call
     sorted_urls = (
         urls.select("url")
         .distinct()
         .repartitionByRange(num_partitions, "url")
         .sortWithinPartitions("url")
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = dict(
         sorted_urls.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
