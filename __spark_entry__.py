@@ -482,6 +482,13 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    from graphblast_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_minutes=60)
+
+
 def q_events_user_stats(spark, sf_dir):
     from graphblast_spark.streaming.state import running_user_stats_batch
 
@@ -561,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_byte_hist": q_m_byte_hist,
         "q_events_window": q_events_window,
         "q_events_user_stats": q_events_user_stats,
+        "q_events_sessions": q_events_sessions,
         "q_lineitem_agg": q_lineitem_agg,
     }
 
@@ -1201,6 +1209,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 6) AS total
             FROM events GROUP BY 1, 2""",
+        "q_events_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 3600
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+              FROM o
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, session_id""",
         "q_events_user_stats": """
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 6) AS total_value, max(ts) AS last_ts

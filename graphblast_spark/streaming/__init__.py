@@ -16,7 +16,8 @@ from graphblast_spark.streaming.events import (
     windowed_event_stats_batch,
 )
 from graphblast_spark.streaming.ingest import stream_pages, streaming_distill
-from graphblast_spark.streaming.state import running_user_stats
+from graphblast_spark.streaming.sessions import sessionize_batch, sessionize_stream
+from graphblast_spark.streaming.state import running_user_stats, running_user_stats_batch
 
 __all__ = [
     "stream_events",
@@ -25,4 +26,7 @@ __all__ = [
     "stream_pages",
     "streaming_distill",
     "running_user_stats",
+    "running_user_stats_batch",
+    "sessionize_batch",
+    "sessionize_stream",
 ]

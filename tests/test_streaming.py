@@ -118,3 +118,56 @@ def test_running_user_stats_state_carries(spark, tmp):
     for uid, (n, tv) in expect.items():
         assert final[uid][0] == n
         assert final[uid][1] == pytest.approx(tv, rel=1e-9)
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, tmp):
+    from datetime import datetime, timedelta
+
+    from graphblast_spark.streaming import sessionize_batch, sessionize_stream
+
+    # controlled corpus: 3 users, gap=30min sessions with known shape;
+    # file 0 holds the early half, file 1 the late half (event-time
+    # ordered across triggers, the discipline sessionize_stream requires)
+    t0 = datetime(2026, 1, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for uid in range(3):
+        for sess in range(3):           # 3 sessions per user
+            base = t0 + timedelta(hours=2 * sess, minutes=uid)
+            for j in range(4):          # 4 events each, 5 min apart
+                rows.append((eid, base + timedelta(minutes=5 * j), uid, "click", 1.5))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = os.path.join(tmp, "sess_in")
+    os.makedirs(src)
+    cut = t0 + timedelta(hours=2)
+    df.filter(F.col("ts") < cut).coalesce(1).write.parquet(os.path.join(src, "f0"))
+    df.filter(F.col("ts") >= cut).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName("sessions")
+        .option("checkpointLocation", os.path.join(tmp, "ck_sess"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts, r.total_value)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    batch = sessionize_batch(df, gap_minutes=30).collect()
+    last = {}
+    for r in batch:
+        last[r.user_id] = max(last.get(r.user_id, 0), r.session_id)
+    closed = {
+        (r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts, r.total_value)
+        for r in batch if r.session_id < last[r.user_id]
+    }
+    # the stream emits exactly the batch's closed (non-trailing) sessions
+    assert streamed == closed and len(closed) == 6  # 2 closed × 3 users
