@@ -294,6 +294,45 @@ def q_g_reduce_vec_scalar(spark, sf_dir):
     return spark.createDataFrame([(round(float(v), 6),)], "total double")
 
 
+def q_g_ewise_mult_scalar(spark, sf_dir):
+    from graphblast_spark.operators import ewise_mult_scalar
+
+    g = copurchase_graph(spark, sf_dir)
+    return ewise_mult_scalar(_u_mod7(g), 2.5).select(
+        "id", F.round("val", 6).alias("val")
+    )
+
+
+def q_g_apply_unary(spark, sf_dir):
+    from graphblast_spark.operators import apply_unary
+
+    g = copurchase_graph(spark, sf_dir)
+    out = apply_unary(_u_mod7(g), lambda v: v * v + 1.0)
+    return out.select("id", F.round("val", 6).alias("val"))
+
+
+def q_g_set_element(spark, sf_dir):
+    from graphblast_spark.operators import set_element
+
+    g = copurchase_graph(spark, sf_dir)
+    idx = _min_part(spark, sf_dir)
+    return set_element(_u_mod7(g), idx, 42.0).select(
+        "id", F.round("val", 6).alias("val")
+    )
+
+
+def q_g_assign_scatter(spark, sf_dir):
+    from graphblast_spark.operators import assign_scatter
+
+    g = copurchase_graph(spark, sf_dir)
+    updates = g.vertices.filter(F.col("id") % 6 == 0).select(
+        F.col("id").alias("target"), ((F.col("id") % 3) + 0.5).cast("double").alias("val")
+    )
+    return assign_scatter(_u_mod7(g), updates).select(
+        "id", F.round("val", 6).alias("val")
+    )
+
+
 def q_g_ewise_add_mat(spark, sf_dir):
     from graphblast_spark.operators import ewise_add_matrix
 
@@ -542,6 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_coloring_jp": q_g_coloring_jp,
         "g_mxm_2hop": q_g_mxm_2hop,
         "g_ewise_add_mat": q_g_ewise_add_mat,
+        "g_ewise_mult_scalar": q_g_ewise_mult_scalar,
+        "g_apply_unary": q_g_apply_unary,
+        "g_set_element": q_g_set_element,
+        "g_assign_scatter": q_g_assign_scatter,
         "g_apply_vxm": q_g_apply_vxm,
         "g_assign_masked": q_g_assign_masked,
         "g_scatter": q_g_scatter,
@@ -1048,6 +1091,26 @@ def oracle_sql() -> dict[str, str]:
         "g_mis": _sql_mis(10),
         "g_coloring": _sql_coloring(4),
         "g_coloring_jp": _sql_coloring_jp(3),
+        "g_ewise_mult_scalar": f"""
+            WITH {_VERTICES}
+            SELECT id, round(CAST((id % 7) + 1 AS DOUBLE) * CAST(2.5 AS DOUBLE), 6) AS val
+            FROM vertices""",
+        "g_apply_unary": f"""
+            WITH {_VERTICES}
+            SELECT id, round(CAST((id % 7) + 1 AS DOUBLE) * CAST((id % 7) + 1 AS DOUBLE) + 1.0, 6) AS val
+            FROM vertices""",
+        "g_set_element": f"""
+            WITH {_VERTICES}
+            SELECT id, round(CASE WHEN id = (SELECT min(l_partkey) FROM lineitem)
+                                  THEN CAST(42.0 AS DOUBLE)
+                                  ELSE CAST((id % 7) + 1 AS DOUBLE) END, 6) AS val
+            FROM vertices""",
+        "g_assign_scatter": f"""
+            WITH {_VERTICES},
+            up AS (SELECT id AS target, CAST((id % 3) + 0.5 AS DOUBLE) AS v
+                   FROM vertices WHERE id % 6 = 0)
+            SELECT v.id, round(coalesce(up.v, CAST((v.id % 7) + 1 AS DOUBLE)), 6) AS val
+            FROM vertices v LEFT JOIN up ON v.id = up.target""",
         "g_ewise_add_mat": f"""
             WITH {_EDGES},
             a AS (SELECT src, dst, CAST((src + dst) % 10 AS DOUBLE) AS v FROM edges),
