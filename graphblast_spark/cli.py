@@ -36,8 +36,10 @@ def _build_graph(spark, args):
         return fixture_graph(spark, args.fixture, directed=args.directed)
     if args.pages:
         from graphblast_spark.sources.distill import distill_edges
+        from graphblast_spark.sources.pages import read_pages
 
-        pages = spark.read.parquet(args.pages)
+        # parquet path or Iceberg table identifier (auto-detected)
+        pages = read_pages(spark, args.pages)
         edges, urlmap = distill_edges(pages)
         vertices = urlmap.select("id")
         return Graph.build(edges, vertices=vertices,

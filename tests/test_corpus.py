@@ -73,3 +73,24 @@ def test_distill_clean_invariants(spark, pages):
     g = Graph.build(e, vertices=url_map.select("id"))
     assert g.n == N_PAGES
     g.unpersist()
+
+
+def test_read_pages_parquet_and_iceberg_gate(spark, tmp_path):
+    from graphblast_spark.sources.corpus import generate_pages
+    from graphblast_spark.sources.pages import read_pages
+
+    out = str(tmp_path / "pages_pq")
+    generate_pages(spark, n_pages=50, seed=3).write.parquet(out)
+    df = read_pages(spark, out)  # auto → parquet (path-like)
+    assert {"url", "warc_ts", "html", "text", "lang"} <= set(df.columns)
+    assert df.count() == 50
+
+    # iceberg path is gated with an actionable error in this sandbox
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_pages(spark, "warehouse.web.pages", format="iceberg")
+
+    # schema drift fails loudly
+    bad = str(tmp_path / "bad_pq")
+    spark.range(3).withColumnRenamed("id", "url").write.parquet(bad)
+    with pytest.raises(ValueError, match="missing required columns"):
+        read_pages(spark, bad, format="parquet")

@@ -40,8 +40,9 @@ def main() -> int:
     t0 = time.time()
     if args.pages:
         from graphblast_spark.sources.distill import distill_edges
+        from graphblast_spark.sources.pages import read_pages
 
-        edges, _ = distill_edges(spark.read.parquet(args.pages))
+        edges, _ = distill_edges(read_pages(spark, args.pages))
         g = Graph.build(edges)
     else:
         from graphblast_spark.sources.rmat import rmat_edges, rmat_vertices
