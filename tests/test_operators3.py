@@ -309,3 +309,25 @@ def test_byte_histogram_exact(spark):
     assert got[1] == h1
     assert got[2] == [0] * 16
     assert got[3] == [2] * 16  # 0..31 covers each residue exactly twice
+
+
+def test_build_equivalent_to_clean_edges(spark):
+    """Graph.build's fused repartition-then-dedup must produce exactly
+    clean_edges' reference semantics (util.hpp:263-329) for every flag
+    combination."""
+    from graphblast_spark.matrix import clean_edges
+
+    raw = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 2.0), (1, 0, 1.0), (2, 2, 1.0), (2, 3, 1.0), (2, 3, 1.0)],
+        "src long, dst long, val double",
+    )
+    for sym in (False, True):
+        ref = {
+            (r.src, r.dst)
+            for r in clean_edges(raw, symmetrize=sym).collect()
+        }
+        got = {
+            (r.src, r.dst)
+            for r in Graph.build(raw, symmetrize=sym).edges.collect()
+        }
+        assert got == ref, f"symmetrize={sym}"
