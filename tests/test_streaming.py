@@ -171,3 +171,58 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, tmp):
     }
     # the stream emits exactly the batch's closed (non-trailing) sessions
     assert streamed == closed and len(closed) == 6  # 2 closed × 3 users
+
+
+def test_sessionize_state_recovers_across_query_restart(spark, tmp):
+    from datetime import datetime, timedelta
+
+    from graphblast_spark.streaming import sessionize_batch, sessionize_stream
+
+    t0 = datetime(2026, 1, 1, 8, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # user 7: session A (2 events) | 2h gap | session B (2 events) | 2h gap | C
+    f0 = [(0, t0, 7, "c", 1.0), (1, t0 + timedelta(minutes=5), 7, "c", 2.0)]
+    f1 = [
+        (2, t0 + timedelta(hours=2), 7, "c", 3.0),
+        (3, t0 + timedelta(hours=2, minutes=5), 7, "c", 4.0),
+        (4, t0 + timedelta(hours=4), 7, "c", 5.0),
+    ]
+    src, ck, sink = (os.path.join(tmp, d) for d in ("src", "ck", "sink"))
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(mk(f0).schema)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        )
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    mk(f0).coalesce(1).write.parquet(os.path.join(src, "f0"))
+    run_once()   # first query: session A still OPEN (lives in state store)
+    mk(f1).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    run_once()   # NEW query instance: must recover A from the checkpoint,
+                 # close it, then close B — exactly once each
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(sink).collect()
+    }
+    # closed sessions: A (2 events, 3.0) and B (2 events, 7.0); C stays open
+    assert got == {(7, 1): (2, 3.0), (7, 2): (2, 7.0)}
+    # and they match the batch twin's non-trailing sessions
+    batch = sessionize_batch(mk(f0 + f1), gap_minutes=30).collect()
+    closed = {
+        (r.user_id, r.session_id): (r.n_events, round(r.total_value, 6))
+        for r in batch if r.session_id < max(b.session_id for b in batch)
+    }
+    assert got == closed
