@@ -15,6 +15,16 @@ hash-repartitioned on ``src`` and sorted within partitions by
 (src, dst) — so iterative vecmat joins on ``src`` reuse the exchange,
 and per-partition Arrow kernels see contiguous rows per source.
 
+Why HASH and not the range partitioning SURVEY §7.0 sketched: every
+superstep join shuffles the vector side with Spark's hash partitioner,
+and a hash(src)-partitioned edge table satisfies that distribution
+as-is — the |E| side never re-exchanges. A range-partitioned layout
+would satisfy no hash requirement, forcing an |E| re-shuffle per
+iteration (and inheriting hot-src-range skew that hashing disperses
+for free). Range layout only wins for src-interval predicates, which
+no operator here issues. Skew on the *reduce* side is handled
+separately: vecmat auto-salts from the cached degree stats below.
+
 At 100 TB scale: ``num_partitions`` should be sized so each partition
 holds ~100-500 MB of edges; the build is one shuffle, paid once and
 persisted (the analog of the reference's binary ``.dat`` parse cache,
