@@ -1,6 +1,7 @@
 from graphblast_spark.sources.mtx import fixture_graph, read_mtx
 from graphblast_spark.sources.corpus import generate_pages
 from graphblast_spark.sources.distill import distill_edges, extract_outlinks_udf, extract_text_udf
+from graphblast_spark.sources.store import drop_graph, load_graph, save_graph
 
 __all__ = [
     "fixture_graph",
@@ -9,4 +10,7 @@ __all__ = [
     "distill_edges",
     "extract_outlinks_udf",
     "extract_text_udf",
+    "save_graph",
+    "load_graph",
+    "drop_graph",
 ]
