@@ -41,6 +41,7 @@ from graphblast_spark.functions.dedup import (
     exact_duplicate_groups,
     lsh_candidate_pairs,
     minhash_signature,
+    near_duplicate_clusters,
     ngram_jaccard_pairs,
     simhash64,
 )
@@ -498,6 +499,14 @@ def q_d_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir), bits=60)
 
 
+def q_d_dedup_clusters(spark, sf_dir):
+    # full pipeline: minhash → LSH → jaccard verify → CC over the
+    # dup-pair graph (near-duplication isn't transitive; clusters are)
+    return near_duplicate_clusters(_docs(spark, sf_dir)).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 def q_e_knn_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.orderBy("vec_id").limit(10)
@@ -603,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh": q_d_minhash_lsh,
         "d_jaccard": q_d_jaccard,
         "d_simhash": q_d_simhash,
+        "d_dedup_clusters": q_d_dedup_clusters,
         "e_knn_cosine": q_e_knn_cosine,
         "e_ivf_knn": q_e_ivf_knn,
         "e_cosine_neardup": q_e_cosine_neardup,
@@ -1206,6 +1216,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.2""",
         "d_simhash": _sql_simhash(60),
+        # pipeline: same CTEs as d_jaccard, then min-label CC to fixpoint
+        # over verified pairs (symmetric + self edges); 20 unrolled
+        # rounds ≫ any LSH cluster's diameter at test scale. The filter
+        # is on the ROUNDED jaccard — lockstep with ngram_jaccard_pairs,
+        # which rounds before thresholding.
+        "d_dedup_clusters": f"""
+            WITH RECURSIVE {_TOKS}, {_SHINGLES}, {_sql_minhash_sig(8)}, {_sql_lsh_pairs(4, 2)},
+            ver AS (
+              SELECT c.a, c.b
+              FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+              WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6)
+                    >= CAST(0.2 AS DOUBLE)
+            ),
+            ea AS (
+              SELECT a AS src, b AS dst FROM ver
+              UNION ALL SELECT b AS src, a AS dst FROM ver
+              UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents
+            ),
+            lbl(iter, id, l) AS (
+              SELECT 0, doc_id, doc_id FROM documents
+              UNION ALL
+              SELECT p.iter + 1, e.src, min(p.l)
+              FROM lbl p JOIN ea e ON p.id = e.dst
+              WHERE p.iter < 20
+              GROUP BY p.iter, e.src
+            )
+            SELECT id AS doc_id, l AS cluster_id, (id = l) AS is_canonical
+            FROM lbl WHERE iter = 20""",
         "e_knn_cosine": f"""
             WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),
             scored AS (

@@ -186,6 +186,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_duplicate_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n_words: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """End-to-end corpus dedup: (doc_id, cluster_id, is_canonical).
+
+    The full training-data dedup pipeline in one call, each stage the
+    scale-correct one: MinHash signatures (one md5 pass) → LSH banding
+    (bucket join, no O(n²) pair space) → exact n-gram Jaccard on the
+    candidates only → **connected components over the verified
+    near-dup pair graph** (FastSV, :mod:`..algorithms.cc`), because
+    near-duplication is not transitive pairwise — A≈B and B≈C must
+    land A,B,C in ONE cluster or canonical selection is ill-defined.
+    ``cluster_id`` = min doc_id of the cluster; ``is_canonical`` marks
+    that doc (the row you keep). Byte-identical duplicates share every
+    band, so exact dups fold into the same clusters for free.
+
+    At 10^12 docs each stage shuffles on bounded keys (band buckets,
+    pair endpoints) and CC runs on the *dup-pair graph* — a graph with
+    |pairs| edges, minuscule next to the corpus — while the vertex set
+    stays the full corpus so singletons keep their own cluster.
+    """
+    from graphblast_spark.algorithms.cc import connected_components
+    from graphblast_spark.matrix import Graph
+
+    sigs = minhash_signature(docs, id_col, text_col, k=k, n_words=n_words)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    verified = ngram_jaccard_pairs(
+        docs, pairs, id_col, text_col, n_words=n_words, threshold=threshold
+    )
+    g = Graph.build(
+        verified.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("val")
+        ),
+        vertices=docs.select(F.col(id_col).alias("id")),
+        symmetrize=True,
+    )
+    cc = connected_components(g)  # localCheckpointed → safe to release g
+    g.unpersist()
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:

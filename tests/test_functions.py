@@ -13,6 +13,7 @@ from graphblast_spark.functions.dedup import (
     exact_duplicate_groups,
     lsh_candidate_pairs,
     minhash_signature,
+    near_duplicate_clusters,
     ngram_jaccard_pairs,
     simhash64,
 )
@@ -98,6 +99,29 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     verified = ngram_jaccard_pairs(corpus, pairs, threshold=0.5)
     vrows = {(r.a, r.b): r.jaccard for r in verified.collect()}
     assert vrows.get((d0.doc_id, 100000), 0) > 0.5
+
+
+def test_near_duplicate_clusters_transitive_closure(spark, docs):
+    """A≈B and B≈C must land one cluster even if A,C never pair directly
+    — the CC stage's whole job. Distinct docs keep singleton clusters."""
+    base = docs.limit(10).select("doc_id", "text")
+    d0 = base.first()
+    # chain: d0 ≈ 100000 ≈ 100001 (each step one appended token)
+    chain = spark.createDataFrame(
+        [(100000, d0.text + " tailone"), (100001, d0.text + " tailone tailtwo")],
+        "doc_id long, text string",
+    )
+    corpus = base.unionByName(chain)
+    out = {r.doc_id: r for r in near_duplicate_clusters(
+        corpus, k=16, bands=8, rows_per_band=2, threshold=0.5
+    ).collect()}
+    assert len(out) == 12  # every doc gets exactly one row
+    assert out[d0.doc_id].cluster_id == out[100000].cluster_id == out[100001].cluster_id
+    assert out[d0.doc_id].cluster_id == d0.doc_id  # min id canonicalizes
+    assert out[d0.doc_id].is_canonical and not out[100000].is_canonical
+    # the other 9 originals stay singletons (clusters partition the corpus)
+    singles = [r for i, r in out.items() if i not in (d0.doc_id, 100000, 100001)]
+    assert all(r.cluster_id == r.doc_id and r.is_canonical for r in singles)
 
 
 def test_minhash_signature_matches_duckdb(spark, docs):
