@@ -48,6 +48,7 @@ from graphblast_spark.functions.dedup import (
 from graphblast_spark.functions.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    embedding_dedup_clusters,
     ivf_topk,
 )
 from graphblast_spark.functions.text import add_fingerprint, add_lang_id, add_quality, add_token_count
@@ -373,6 +374,14 @@ def q_e_cosine_neardup(spark, sf_dir):
     ).select("a", "b", "cos")
 
 
+def q_e_dedup_clusters(spark, sf_dir):
+    # cosine near-dup pairs closed under CC (same cells/threshold as
+    # e_cosine_neardup so the oracle shares its CTEs)
+    return embedding_dedup_clusters(
+        _emb(spark, sf_dir), threshold=0.3, n_cells=8
+    ).select("vec_id", "cluster_id", "is_canonical")
+
+
 def q_g_lgc(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     src = _min_part(spark, sf_dir)
@@ -616,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_knn_cosine": q_e_knn_cosine,
         "e_ivf_knn": q_e_ivf_knn,
         "e_cosine_neardup": q_e_cosine_neardup,
+        "e_dedup_clusters": q_e_dedup_clusters,
         "m_frame_sample": q_m_frame_sample,
         "m_decode_stats": q_m_decode_stats,
         "m_byte_hist": q_m_byte_hist,
@@ -1307,6 +1317,43 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_COSINE.replace('q.embedding', 'x.embedding').replace('c.embedding', 'y.embedding')} AS cos
             FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE {_SQL_COSINE.replace('q.embedding', 'x.embedding').replace('c.embedding', 'y.embedding')} >= CAST(0.3 AS DOUBLE)""",
+        # e_cosine_neardup's cell-assignment + pair CTEs, closed under
+        # min-label CC (symmetric + self edges, 20 unrolled rounds ≫
+        # any near-dup cluster diameter at test scale)
+        "e_dedup_clusters": f"""
+            WITH RECURSIVE cent AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding AS centroid
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            assigned AS MATERIALIZED (
+              SELECT vec_id, embedding, cell FROM (
+                SELECT q.vec_id, q.embedding, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_SQL_COSINE.replace('c.embedding', 'c.centroid')} DESC, c.cell) AS rn
+                FROM embeddings q, cent c
+              ) WHERE rn <= 1
+            ),
+            ver AS MATERIALIZED (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+              WHERE {_SQL_COSINE.replace('q.embedding', 'x.embedding').replace('c.embedding', 'y.embedding')} >= CAST(0.3 AS DOUBLE)
+            ),
+            ea AS (
+              SELECT a AS src, b AS dst FROM ver
+              UNION ALL SELECT b AS src, a AS dst FROM ver
+              UNION ALL SELECT vec_id AS src, vec_id AS dst FROM embeddings
+            ),
+            lbl(iter, id, l) AS (
+              SELECT 0, vec_id, vec_id FROM embeddings
+              UNION ALL
+              SELECT p.iter + 1, e.src, min(p.l)
+              FROM lbl p JOIN ea e ON p.id = e.dst
+              WHERE p.iter < 20
+              GROUP BY p.iter, e.src
+            )
+            SELECT id AS vec_id, l AS cluster_id, (id = l) AS is_canonical
+            FROM lbl WHERE iter = 20""",
         "q_events_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 6) AS total

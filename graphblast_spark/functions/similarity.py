@@ -227,3 +227,35 @@ def cosine_near_dup_pairs(
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embedding_dedup_clusters(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int | None = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space dedup: (vec_id, cluster_id, is_canonical) — the
+    :func:`~graphblast_spark.functions.dedup.near_duplicate_clusters`
+    twin for vector corpora. Cosine near-dup pairs (IVF-bucketed, see
+    :func:`cosine_near_dup_pairs`) are closed under connected
+    components, because near-duplication chains: A≈B≈C must dedup to
+    one kept row even when cos(A,C) < threshold. ``cluster_id`` = min
+    vec_id of the cluster; singletons cluster with themselves."""
+    from graphblast_spark.algorithms.cc import connected_components
+    from graphblast_spark.matrix import Graph
+
+    pairs = cosine_near_dup_pairs(vectors, threshold, n_cells, id_col, vec_col)
+    g = Graph.build(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("val")),
+        vertices=vectors.select(F.col(id_col).alias("id")),
+        symmetrize=True,
+    )
+    cc = connected_components(g)  # localCheckpointed → safe to release g
+    g.unpersist()
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -23,7 +23,11 @@ from graphblast_spark.functions.multimodal import (
     extract_features,
     frame_sample,
 )
-from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
+from graphblast_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_dedup_clusters,
+    ivf_topk,
+)
 from graphblast_spark.functions.text import add_fingerprint, add_lang_id, add_quality, add_token_count
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -160,6 +164,29 @@ def test_minhash_signature_matches_duckdb(spark, docs):
     ).fetchall()
     for doc_id, sig in oracle:
         assert got[doc_id] == sig, doc_id
+
+
+def test_embedding_dedup_clusters_chain(spark):
+    """cos chain at 30° steps with threshold 0.8: (0,1) and (1,2) are
+    near-dups, (0,2) is not (cos 60° = 0.5) — CC must still cluster all
+    three; the orthogonal vector stays a singleton."""
+    import math
+
+    def v(theta_deg):
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t), 0.0, 0.0]
+
+    emb = spark.createDataFrame(
+        [(0, v(0)), (1, v(30)), (2, v(60)), (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embedding_dedup_clusters(
+        emb, threshold=0.8, n_cells=None
+    ).collect()}
+    assert len(out) == 4
+    assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id == 0
+    assert out[0].is_canonical and not out[1].is_canonical
+    assert out[3].cluster_id == 3 and out[3].is_canonical
 
 
 def test_simhash_near_for_near_texts(spark):
