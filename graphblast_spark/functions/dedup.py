@@ -120,18 +120,12 @@ def minhash_signature(
     return with_base.select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
-) -> DataFrame:
-    """(a, b) candidate near-dup pairs (a < b): documents sharing at
-    least one LSH band. Band key = the band's signature rows joined as
-    a string. The band-bucket self-join is the only shuffle; dedup via
-    distinct. The banded table is materialized once via an eager
-    localCheckpoint — a self-join would otherwise recompute the full
-    signature pipeline for BOTH sides (measured 2× end-to-end), and
-    unlike ``persist()`` the checkpoint blocks are released when the
-    result goes out of scope (no leaked cache entry per call)."""
-    banded = sigs.select(
+def band_keys(sigs: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, bkey): each signature split into ``bands`` LSH
+    bands; bkey = that band's signature rows joined as a string. Two
+    documents sharing any (band, bkey) are near-dup candidates — the
+    bucket key that turns the O(n²) pair space into per-bucket joins."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -150,7 +144,21 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey").localCheckpoint(eager=True)
+    ).select("doc_id", "bk.band", "bk.bkey")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs (a < b): documents sharing at
+    least one LSH band (:func:`band_keys`). The band-bucket self-join
+    is the only shuffle; dedup via distinct. The banded table is
+    materialized once via an eager localCheckpoint — a self-join would
+    otherwise recompute the full signature pipeline for BOTH sides
+    (measured 2× end-to-end), and unlike ``persist()`` the checkpoint
+    blocks are released when the result goes out of scope (no leaked
+    cache entry per call)."""
+    banded = band_keys(sigs, bands, rows_per_band).localCheckpoint(eager=True)
     l = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("a"))
     r = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("b"))
     return (

@@ -15,6 +15,7 @@ from graphblast_spark.streaming.events import (
     windowed_event_stats,
     windowed_event_stats_batch,
 )
+from graphblast_spark.streaming.dedup import dedup_gate_batch, streaming_dedup_gate
 from graphblast_spark.streaming.ingest import stream_pages, streaming_distill
 from graphblast_spark.streaming.sessions import sessionize_batch, sessionize_stream
 from graphblast_spark.streaming.state import running_user_stats, running_user_stats_batch
@@ -25,6 +26,8 @@ __all__ = [
     "windowed_event_stats_batch",
     "stream_pages",
     "streaming_distill",
+    "dedup_gate_batch",
+    "streaming_dedup_gate",
     "running_user_stats",
     "running_user_stats_batch",
     "sessionize_batch",

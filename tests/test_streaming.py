@@ -173,6 +173,68 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, tmp):
     assert streamed == closed and len(closed) == 6  # 2 closed × 3 users
 
 
+def test_streaming_dedup_gate_across_restarts(spark, tmp):
+    from graphblast_spark.streaming import streaming_dedup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles stand quietly on the old stone wall near the "
+        "river bend watching clouds drift past the tall pine trees"
+    )
+    other = (
+        "completely different subject matter entirely about spark "
+        "physical plans shuffle exchanges broadcast joins and the "
+        "catalyst optimizer rewriting logical trees into efficient code"
+    )
+    third = (
+        "a third unrelated document describing minhash signatures band "
+        "keys bucket joins and the locality sensitive hashing family "
+        "of algorithms for approximate set similarity at corpus scale"
+    )
+    schema = "doc_id long, text string"
+    src, state, decisions, ck = (
+        os.path.join(tmp, d) for d in ("src", "state", "dec", "ckg")
+    )
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        )
+        q = streaming_dedup_gate(stream, state, decisions, ck)
+        q.awaitTermination(180)
+
+    # batch 1: original + in-batch exact copy + distinct doc
+    spark.createDataFrame(
+        [(1, base), (3, base), (2, other)], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "f0"))
+    run_once()
+    # batch 2 (new query instance, state recovered from parquet logs):
+    # exact copy of doc 1, near-dup of doc 1 (one word changed), fresh doc
+    near = base.replace("seventeen", "eighteen")
+    spark.createDataFrame(
+        [(10, base), (11, near), (12, third)], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    run_once()
+
+    got = {
+        r.doc_id: (r.verdict, r.dup_of)
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got == {
+        1: ("kept", None),
+        2: ("kept", None),
+        3: ("exact_dup", 1),     # within-batch exact
+        10: ("exact_dup", 1),    # cross-batch exact via recovered state
+        11: ("near_dup", 1),     # cross-batch LSH + signature estimate
+        12: ("kept", None),
+    }
+    # rejected docs never entered the state: only kept docs' signatures
+    kept_ids = {r.doc_id for r in spark.read.parquet(f"{state}/sigs").collect()}
+    assert kept_ids == {1, 2, 12}
+
+
 def test_sessionize_state_recovers_across_query_restart(spark, tmp):
     from datetime import datetime, timedelta
 
