@@ -229,20 +229,32 @@ def near_duplicate_clusters(
     pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     verified = ngram_jaccard_pairs(
         docs, pairs, id_col, text_col, n_words=n_words, threshold=threshold
+    ).localCheckpoint(eager=True)  # feeds both the CC vertex set and edges
+    # CC iterates ONLY over docs that occur in a verified pair: at corpus
+    # scale the overwhelming majority of docs pair with nothing, and
+    # looping them through every CC superstep would shuffle the full
+    # corpus per round. Unpaired docs are trivially their own cluster —
+    # emitted by the left join below without ever entering the loop.
+    if not verified.head(1):  # no near-dups anywhere: all singletons
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    edges = verified.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("val")
     )
-    g = Graph.build(
-        verified.select(
-            F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("val")
-        ),
-        vertices=docs.select(F.col(id_col).alias("id")),
-        symmetrize=True,
-    )
+    g = Graph.build(edges, symmetrize=True)  # vertices = paired docs only
     cc = connected_components(g)  # localCheckpointed → safe to release g
     g.unpersist()
-    return cc.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("id") == F.col("component")).alias("is_canonical"),
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+        )
     )
 
 

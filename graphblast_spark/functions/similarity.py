@@ -246,16 +246,30 @@ def embedding_dedup_clusters(
     from graphblast_spark.algorithms.cc import connected_components
     from graphblast_spark.matrix import Graph
 
-    pairs = cosine_near_dup_pairs(vectors, threshold, n_cells, id_col, vec_col)
+    pairs = cosine_near_dup_pairs(
+        vectors, threshold, n_cells, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    if not pairs.head(1):  # no near-dups anywhere: all singletons
+        return vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    # CC runs over paired vectors only (the vast majority pair with
+    # nothing at corpus scale); singletons are restored by the left join
+    # without ever entering the superstep loop.
     g = Graph.build(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("val")),
-        vertices=vectors.select(F.col(id_col).alias("id")),
         symmetrize=True,
     )
     cc = connected_components(g)  # localCheckpointed → safe to release g
     g.unpersist()
-    return cc.select(
-        F.col("id").alias("vec_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("id") == F.col("component")).alias("is_canonical"),
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"))
+        .join(cc.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster_id"),
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("is_canonical"),
+        )
     )

@@ -128,6 +128,22 @@ def test_near_duplicate_clusters_transitive_closure(spark, docs):
     assert all(r.cluster_id == r.doc_id and r.is_canonical for r in singles)
 
 
+def test_dedup_clusters_all_singletons(spark):
+    """No verified pairs at all → early exit: every doc its own cluster
+    (the empty-pair-graph guard; CC never runs)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "red orange yellow green blue indigo violet")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in near_duplicate_clusters(
+        docs, k=16, bands=8, rows_per_band=2, threshold=0.5
+    ).collect()}
+    assert len(out) == 3
+    assert all(r.cluster_id == r.doc_id and r.is_canonical for r in out.values())
+
+
 def test_minhash_signature_matches_duckdb(spark, docs):
     sub = docs.limit(5).select("doc_id", "text")
     got = {r.doc_id: r.sig for r in minhash_signature(sub, k=4).collect()}
