@@ -64,12 +64,21 @@ def pagerank(
     runner: SuperstepRunner | None = None,
     fixed_iters: int | None = None,
     w_edges: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id long, val double). ``fixed_iters`` skips the
     convergence action entirely (the reference benchmark mode,
     run_pr.sh --max_niter 10) — use it when the superstep count is the
     contract, e.g. oracle-compared queries. ``w_edges`` accepts a
-    pre-built :func:`pagerank_prep` table (kept persisted by caller)."""
+    pre-built :func:`pagerank_prep` table (kept persisted by caller).
+
+    ``init_ranks`` (id, val) warm-starts the power iteration — e.g.
+    from the previous run's output after a streamed edge-log append.
+    The iteration map is an affine contraction with a unique fixed
+    point, so any start converges to the same scores; a near-fixpoint
+    start converges in a few supersteps instead of tens (the
+    incremental-analytics path). Ignored when a checkpoint resume is
+    in progress (the checkpointed state wins)."""
     spark = g.edges.sparkSession
     n = g.n
     teleport = (1.0 - alpha) / n
@@ -84,6 +93,8 @@ def pagerank(
         runner = SuperstepRunner(spark)
 
     def init():
+        if init_ranks is not None:
+            return {"ranks": init_ranks.select("id", F.col("val").cast("double"))}
         return {"ranks": g.vertices.select("id", F.lit(1.0 / n).alias("val"))}
 
     state, start_iter, _ = runner.resume_or_init(init)

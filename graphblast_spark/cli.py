@@ -30,6 +30,10 @@ def _build_graph(spark, args):
 
     from graphblast_spark.matrix import Graph
 
+    if args.load_graph:
+        from graphblast_spark.sources.store import load_graph
+
+        return load_graph(spark, args.load_graph)
     if args.fixture:
         from graphblast_spark.sources.mtx import fixture_graph
 
@@ -86,6 +90,14 @@ def main(argv=None) -> int:
     p.add_argument("--niter", type=int, default=None,
                    help="fixed iteration count (skip convergence checks)")
     p.add_argument("--switchpoint", type=float, default=0.01)
+    p.add_argument("--save-graph", help="persist the built graph to the "
+                   "bucketed store under this name (build once, reload "
+                   "shuffle-free in later jobs)")
+    p.add_argument("--load-graph", help="load a stored graph by name "
+                   "instead of building")
+    p.add_argument("--store-path", help="external path for --save-graph tables")
+    p.add_argument("--init-ranks", help="pr warm start: (id,val) parquet "
+                   "from a previous run's --output")
     p.add_argument("--run-dir", help="checkpoint/metrics dir (resumable)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--master", default=None)
@@ -109,14 +121,20 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     g = _build_graph(spark, args)
+    if args.save_graph:
+        from graphblast_spark.sources.store import save_graph
+
+        save_graph(g, args.save_graph, path=args.store_path)
     t_build = time.time() - t0
 
     from graphblast_spark import algorithms as A
 
     t0 = time.time()
     if args.algorithm == "pr":
+        warm = spark.read.parquet(args.init_ranks) if args.init_ranks else None
         out = A.pagerank(g, alpha=args.alpha, eps=args.eps, desc=desc,
-                         runner=runner, fixed_iters=args.niter)
+                         runner=runner, fixed_iters=args.niter,
+                         init_ranks=warm)
     elif args.algorithm == "cc":
         out = A.connected_components(g, desc=desc, runner=runner)
     elif args.algorithm == "lp":

@@ -30,6 +30,37 @@ def test_cli_pagerank_fixture(spark, capsys, tmp_path):
     assert abs(sum(r["val"] for r in got.collect()) - 1.0) < 0.1
 
 
+def test_cli_store_and_warm_start(spark, capsys, tmp_path):
+    """build+save → load+run parity, then a warm start from the first
+    run's output converges in ≲2 supersteps (incremental-analytics path:
+    metrics.jsonl counts the iterations actually run)."""
+    store_path, out1, out2, md = (
+        str(tmp_path / d) for d in ("store", "pr1", "pr2", "runm")
+    )
+    rc = main(["pr", "--fixture", "chesapeake", "--save-graph", "tg_cli",
+               "--store-path", store_path, "--output", out1])
+    assert rc == 0
+    stats1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rc = main(["pr", "--load-graph", "tg_cli", "--output", out2,
+               "--init-ranks", out1, "--run-dir", md])
+    assert rc == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["n_edges"] == stats1["n_edges"]
+
+    a = {r.id: r.val for r in spark.read.parquet(out1).collect()}
+    b = {r.id: r.val for r in spark.read.parquet(out2).collect()}
+    assert set(a) == set(b)
+    # both runs stop at sum(Δp²) < eps=1e-8, i.e. per-vertex residual
+    # ~1e-4; the warm start advances ≤2 extra steps from there
+    assert all(abs(a[i] - b[i]) < 1e-3 for i in a)
+    n_iters = sum(1 for _ in open(os.path.join(md, "metrics.jsonl")))
+    assert n_iters <= 2, n_iters  # cold convergence takes ~20+ supersteps
+    spark.sql("DROP TABLE IF EXISTS tg_cli_edges")
+    spark.sql("DROP TABLE IF EXISTS tg_cli_vertices")
+    spark.sql("DROP TABLE IF EXISTS tg_cli_meta")
+
+
 def test_cli_tc_and_resume_dir(spark, capsys, tmp_path):
     run_dir = str(tmp_path / "run")
     rc = main(["cc", "--fixture", "test_cc", "--run-dir", run_dir,
