@@ -116,7 +116,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
-                rmat_scale: int | None = None) -> dict:
+                rmat_scale: int | None = None, algo: str = "pr") -> dict:
     """The north-rule scaling evidence: the IDENTICAL PageRank job —
     same persisted parquet input, same shuffle-partition count (so the
     task graph is byte-identical) — at local[n] and local[n4]; report
@@ -128,12 +128,19 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
     RMAT power-law graph (Graph500 family, the reference's own
     rmat_n22-n24 benchmark tier, run_pr.sh:13) sized by
     ``$SPARK_GRAFT_RMAT_SCALE`` (default 20 → |V|=1M, |E|≈16M after
-    cleaning)."""
+    cleaning).
+
+    ``algo="cc"`` times connected components to convergence instead
+    (identical superstep count both sizes — the algorithm is
+    deterministic on identical input), broadening the evidence beyond
+    the PageRank join pattern: CC's hook+jump supersteps exercise the
+    dst-pinned layout and the pointer-jump self-join."""
     import shutil
 
     from graphblast_spark.matrix import Graph
-    from graphblast_spark.algorithms import pagerank
+    from graphblast_spark.algorithms import connected_components, pagerank
     from graphblast_spark.algorithms.pagerank import pagerank_prep
+    from graphblast_spark.runtime.superstep import SuperstepRunner
     from graphblast_spark.sources.rmat import rmat_edges, rmat_vertices
 
     scale = rmat_scale or int(os.environ.get("SPARK_GRAFT_RMAT_SCALE", "20"))
@@ -162,33 +169,52 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
         g = Graph.build(edges, vertices=vertices, drop_self_loops=False,
                         dedup=False, num_partitions=parts)
         nvals = g.nvals
-        w_edges = pagerank_prep(g)
-        # warmup: JIT, cache population, and the one-time post-build
-        # ContextCleaner settling (measured: first ~3 iters spike 2-5×)
-        pagerank(g, fixed_iters=4, w_edges=w_edges).count()
-        _, t = _timed(lambda: pagerank(g, fixed_iters=pr_iters, w_edges=w_edges).count())
-        results[cores] = {"sec": round(t, 3), "etps": nvals * pr_iters / t}
+        if algo == "cc":
+            # warmup: one full untimed convergence run (JIT + cache +
+            # post-build ContextCleaner settling), then the timed run;
+            # iteration count read back from the runner's metrics log
+            connected_components(g).count()
+            run_dir = os.path.join(scratch, f"ccrun_{cores}")
+            shutil.rmtree(run_dir, ignore_errors=True)
+            runner = SuperstepRunner(spark, run_dir=run_dir, checkpoint_every=0)
+            _, t = _timed(lambda: connected_components(g, runner=runner).count())
+            with open(os.path.join(run_dir, "metrics.jsonl")) as fh:
+                iters = sum(1 for _ in fh)
+            results[cores] = {"sec": round(t, 3), "iters": iters,
+                              "etps": nvals * iters / t}
+        else:
+            w_edges = pagerank_prep(g)
+            # warmup: JIT, cache population, and the one-time post-build
+            # ContextCleaner settling (measured: first ~3 iters spike 2-5×)
+            pagerank(g, fixed_iters=4, w_edges=w_edges).count()
+            _, t = _timed(lambda: pagerank(g, fixed_iters=pr_iters, w_edges=w_edges).count())
+            results[cores] = {"sec": round(t, 3), "iters": pr_iters,
+                              "etps": nvals * pr_iters / t}
         spark.stop()
         time.sleep(2)
+    assert results[n]["iters"] == results[n4]["iters"], "superstep counts diverged"
+    it_lbl = results[n]["iters"]
     eff = results[n4]["etps"] / ((n4 / n) * results[n]["etps"])
     out = {
+        "algo": algo,
         "graph": f"rmat_s{scale} (Graph500 a=.57 b=c=.19)",
         "edges": nvals,
         "vertices": n_vertices,
-        "iters": pr_iters,
+        "iters": it_lbl,
         "n_cores": n,
         "n4_cores": n4,
         f"local[{n}]": results[n],
         f"local[{n4}]": results[n4],
         "scaling_efficiency": round(eff, 3),
     }
+    names = {"pr": "PageRank", "cc": "Connected-components"}
     with open("BENCH.md", "a") as fh:
         fh.write(
-            f"\n## PageRank scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"\n## {names[algo]} scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
             f"graph: deterministic RMAT scale={scale} (|V|={n_vertices:,}, "
-            f"|E|={nvals:,} cleaned), {pr_iters} timed iterations after prep+warmup, "
+            f"|E|={nvals:,} cleaned), {it_lbl} timed iterations after prep+warmup, "
             f"identical parquet input and {parts} shuffle partitions at both sizes.\n\n"
-            f"| config | wall sec ({pr_iters} iters) | edges×iters/sec |\n|---|---|---|\n"
+            f"| config | wall sec ({it_lbl} iters) | edges×iters/sec |\n|---|---|---|\n"
             f"| local[{n}] | {results[n]['sec']} | {results[n]['etps']:.3e} |\n"
             f"| local[{n4}] | {results[n4]['sec']} | {results[n4]['etps']:.3e} |\n\n"
             f"scaling efficiency {n}→{n4} cores = "
@@ -205,6 +231,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
         n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-        print(json.dumps(run_scaling(sf_dir, n, n4)))
+        algo = os.environ.get("SPARK_GRAFT_SCALING_ALGO", "pr")
+        print(json.dumps(run_scaling(sf_dir, n, n4, algo=algo)))
     else:
         print(json.dumps(run_headline(sf_dir, cpus)))
