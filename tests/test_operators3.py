@@ -331,3 +331,27 @@ def test_build_equivalent_to_clean_edges(spark):
             for r in Graph.build(raw, symmetrize=sym).edges.collect()
         }
         assert got == ref, f"symmetrize={sym}"
+
+
+# --- per-partition Arrow SpMV kernel (operators/kernel.py) -------------
+
+def test_arrow_kernel_agrees_with_join_vecmat(spark):
+    """The mapInArrow dense-pull kernel must be value-identical to the
+    join+agg vecmat on a dense vector, for both supported semirings and
+    both orientations (reference spmv.hpp kernel vs the join plan)."""
+    from graphblast_spark.operators import mxv, mxv_arrow, vxm_arrow
+
+    g = fixture_graph(spark, "chesapeake")
+    u = g.vertices.select("id", ((F.col("id") % 7) + 1).cast("double").alias("val"))
+    for sr in ("PlusMultiplies", "MinimumPlus"):
+        a = {r.id: r.val for r in vxm(u, g, sr, u_nvals=g.n).collect()}
+        b = {r.id: r.val for r in vxm_arrow(u, g, sr).collect()}
+        assert set(a) == set(b)
+        assert all(abs(a[i] - b[i]) < 1e-9 for i in a), sr
+    a = {r.id: r.val for r in mxv(u, g, "PlusMultiplies", u_nvals=g.n).collect()}
+    b = {r.id: r.val for r in mxv_arrow(u, g, "PlusMultiplies").collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[i] - b[i]) < 1e-9 for i in a)
+    with pytest.raises(ValueError):
+        vxm_arrow(u, g, "LogicalOrAnd")  # outside the dense-regime set
+    g.unpersist()
