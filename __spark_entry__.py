@@ -115,6 +115,16 @@ def q_g_vecmat_spmv(spark, sf_dir):
     return out.select("id", F.round("val", 6).alias("val"))
 
 
+def q_g_vecmat_kernel(spark, sf_dir):
+    # the mapInArrow dense-pull kernel path (operators/kernel.py) —
+    # same semantics as g_vecmat_spmv, different physical plan
+    from graphblast_spark.operators import vxm_arrow
+
+    g = copurchase_graph(spark, sf_dir)
+    out = vxm_arrow(_u_mod7(g), g, "PlusMultiplies")
+    return out.select("id", F.round("val", 6).alias("val"))
+
+
 def q_g_vecmat_minplus(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     u = g.vertices.select("id", (F.col("id") % 100).cast("double").alias("val"))
@@ -319,6 +329,24 @@ def q_g_set_element(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     idx = _min_part(spark, sf_dir)
     return set_element(_u_mod7(g), idx, 42.0).select(
+        "id", F.round("val", 6).alias("val")
+    )
+
+
+def q_g_assign_indexed(spark, sf_dir):
+    from graphblast_spark.operators import assign_indexed
+
+    g = copurchase_graph(spark, sf_dir)
+    w = _u_mod7(g)
+    # w[i+1] = u[i] for i % 36 == 0 (i in both the index and u slices;
+    # targets i+1 are injective → no collision resolution in play)
+    indices = g.vertices.filter(F.col("id") % 9 == 0).select(
+        "id", (F.col("id") + 1).cast("double").alias("val")
+    )
+    u = g.vertices.filter(F.col("id") % 4 == 0).select(
+        "id", ((F.col("id") % 5) + 10).cast("double").alias("val")
+    )
+    return assign_indexed(w, u, indices).select(
         "id", F.round("val", 6).alias("val")
     )
 
@@ -576,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_build": q_g_build,
         "g_degrees": q_g_degrees,
         "g_vecmat_spmv": q_g_vecmat_spmv,
+        "g_vecmat_kernel": q_g_vecmat_kernel,
         "g_vecmat_minplus": q_g_vecmat_minplus,
         "g_vecmat_masked": q_g_vecmat_masked,
         "g_ewise_mult": q_g_ewise_mult,
@@ -602,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ewise_mult_scalar": q_g_ewise_mult_scalar,
         "g_apply_unary": q_g_apply_unary,
         "g_set_element": q_g_set_element,
+        "g_assign_indexed": q_g_assign_indexed,
         "g_assign_scatter": q_g_assign_scatter,
         "g_apply_vxm": q_g_apply_vxm,
         "g_assign_masked": q_g_assign_masked,
@@ -919,6 +949,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_EDGES}
             SELECT dst AS id, round(sum(CAST((src % 7) + 1 AS DOUBLE) * 1.0), 6) AS val
             FROM edges GROUP BY dst""",
+        "g_vecmat_kernel": f"""
+            WITH {_EDGES}
+            SELECT dst AS id, round(sum(CAST((src % 7) + 1 AS DOUBLE) * 1.0), 6) AS val
+            FROM edges GROUP BY dst""",
         "g_vecmat_minplus": f"""
             WITH {_EDGES}
             SELECT dst AS id, round(min(CAST(src % 100 AS DOUBLE) + 1.0), 6) AS val
@@ -1125,6 +1159,12 @@ def oracle_sql() -> dict[str, str]:
                                   THEN CAST(42.0 AS DOUBLE)
                                   ELSE CAST((id % 7) + 1 AS DOUBLE) END, 6) AS val
             FROM vertices""",
+        "g_assign_indexed": f"""
+            WITH {_VERTICES},
+            up AS (SELECT id + 1 AS tid, CAST((id % 5) + 10 AS DOUBLE) AS nv
+                   FROM vertices WHERE id % 9 = 0 AND id % 4 = 0)
+            SELECT v.id, round(coalesce(up.nv, CAST((v.id % 7) + 1 AS DOUBLE)), 6) AS val
+            FROM vertices v LEFT JOIN up ON v.id = up.tid""",
         "g_assign_scatter": f"""
             WITH {_VERTICES},
             up AS (SELECT id AS target, CAST((id % 3) + 0.5 AS DOUBLE) AS v

@@ -59,14 +59,21 @@ _NP_MONOID = {
 
 
 def _dense_array(u: DataFrame, n: int, identity: float) -> np.ndarray:
-    """u(id, val) → float64[n] indexed by id (dense-domain contract:
-    ids are 0..n-1, the distill dense rank / fillAscending invariant).
-    Absent ids take the ⊕ identity (contribute nothing)."""
+    """u(id, val) → float64[max_id+1] indexed by id. The contract is a
+    *compact* non-negative id domain (the distill dense rank /
+    fillAscending invariant — ids in [0, ~n)); u must cover every edge
+    source id. Absent slots take the ⊕ identity (contribute nothing)."""
     pdf = u.select("id", "val").toPandas()
     ids = pdf["id"].to_numpy()
-    if len(ids) and (ids.min() < 0 or ids.max() >= n):
-        raise ValueError("kernel path requires dense 0..n-1 vertex ids")
-    arr = np.full(n, identity, dtype=np.float64)
+    max_id = int(ids.max()) if len(ids) else -1
+    if max_id < 0 and n <= 0:
+        raise ValueError("empty vector and empty graph domain")
+    if (len(ids) and ids.min() < 0) or max_id >= (1 << 31):
+        raise ValueError(
+            "kernel path requires a compact non-negative id domain "
+            f"(got min={ids.min() if len(ids) else None}, max={max_id})"
+        )
+    arr = np.full(max(n, max_id + 1), identity, dtype=np.float64)
     arr[ids] = pdf["val"].to_numpy(dtype=np.float64)
     return arr
 
