@@ -453,6 +453,12 @@ def q_m_decode_stats(spark, sf_dir):
     )
 
 
+def q_m_resize(spark, sf_dir):
+    from graphblast_spark.functions.multimodal import resize_image
+
+    return resize_image(_assets(spark, sf_dir), out_w=3, out_h=3)
+
+
 def q_m_byte_hist(spark, sf_dir):
     from graphblast_spark.functions.multimodal import byte_histogram
 
@@ -659,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample": q_m_frame_sample,
         "m_decode_stats": q_m_decode_stats,
         "m_byte_hist": q_m_byte_hist,
+        "m_resize": q_m_resize,
         "q_events_window": q_events_window,
         "q_events_user_stats": q_events_user_stats,
         "q_events_sessions": q_events_sessions,
@@ -928,6 +935,21 @@ def _sql_lgc(iters: int = 4, alpha: float = 0.15, eps: float = 1e-6) -> str:
     )
 
 
+def _sql_resize(w: int = 8, h: int = 8, out_w: int = 3, out_h: int = 3) -> str:
+    """Lockstep mirror of functions/multimodal.py resize_image over the
+    _assets derivation (payload = utf-8 text, fake decode = md5 tile):
+    output pixel (Y,X) = digest[((Y·h//out_h)·w + X·w//out_w) % 16]."""
+    ys = [(y * h) // out_h for y in range(out_h)]
+    xs = [(x * w) // out_w for x in range(out_w)]
+    idxs = [(y * w + x) % 16 for y in ys for x in xs]
+    parts = " || ".join(f"upper(substr(m, {i * 2 + 1}, 2))" for i in idxs)
+    return f"""
+        WITH px AS (SELECT doc_id AS asset_id, md5(text) AS m FROM documents)
+        SELECT asset_id, CAST({out_w} AS INT) AS rw, CAST({out_h} AS INT) AS rh,
+               ({parts}) AS pixels
+        FROM px"""
+
+
 _SQL_MSBFS_BODY = """
 srcs AS (SELECT id FROM vertices ORDER BY id LIMIT 4),
 b(root, id, depth) AS (
@@ -1178,6 +1200,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(a.src, b.src) AS src, coalesce(a.dst, b.dst) AS dst,
                    round(coalesce(a.v, CAST(0.0 AS DOUBLE)) + coalesce(b.v, CAST(0.0 AS DOUBLE)), 6) AS val
             FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst""",
+        # resize: NN-resample of the 8×8 fake-decoded tile to 3×3 —
+        # source pixel (y,x) = md5-digest byte (y*8+x) % 16; the index
+        # list below is computed by the SAME formula as resize_image
+        "m_resize": _sql_resize(),
         "m_byte_hist": """
             WITH codes AS (
               SELECT doc_id AS asset_id,

@@ -127,6 +127,43 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema="asset_id long, embedding array<float>")
 
 
+def resize_image(assets: DataFrame, out_w: int = 3, out_h: int = 3) -> DataFrame:
+    """assets → (asset_id, rw int, rh int, pixels string): nearest-
+    neighbor resample of the fake-decoded tile to (out_h, out_w),
+    emitted as upper-hex (the driver's canonicalizer sorts cell values;
+    binary is unsortable, hex is byte-faithful). Real-codec splice
+    point: swap :func:`_fake_pixels` for a decoded array and this
+    resample logic is production NN-downsampling unchanged —
+    the Spark-side plumbing (Arrow batches, schema, constants captured
+    in the closure) is what the contract row pins."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, hexes = [], []
+            for asset_id, payload, w, h in zip(
+                b["asset_id"], b["payload"], b["width"], b["height"]
+            ):
+                w, h = int(w), int(h)
+                px = _fake_pixels(bytes(payload or b""), w, h)
+                ys = [(y * h) // out_h for y in range(out_h)]
+                xs = [(x * w) // out_w for x in range(out_w)]
+                out = bytes(int(px[y, x]) for y in ys for x in xs)
+                ids.append(asset_id)
+                hexes.append(out.hex().upper())
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "rw": out_w,
+                    "rh": out_h,
+                    "pixels": hexes,
+                }
+            )
+
+    return assets.mapInPandas(
+        run, schema="asset_id long, rw int, rh int, pixels string"
+    )
+
+
 def frame_sample(assets: DataFrame, every_n: int = 4) -> DataFrame:
     """Video-style frame sampling plumbing: payload → every-nth 'frame'
     (fixed-size byte slices standing in for decoded frames)."""

@@ -205,6 +205,25 @@ def test_embedding_dedup_clusters_chain(spark):
     assert out[3].cluster_id == 3 and out[3].is_canonical
 
 
+def test_resize_image_nn_resample(spark):
+    """3×3 NN-resample of the 8×8 md5-tile fake decode: pixel (Y,X) =
+    digest[((Y*8//3)*8 + (X*8//3)) % 16] — verified byte-for-byte."""
+    import hashlib
+
+    from graphblast_spark.functions.multimodal import resize_image
+
+    payload = b"resize me"
+    assets = spark.createDataFrame(
+        [(1, "image", payload, 8, 8, 0)],
+        "asset_id long, kind string, payload binary, width int, height int, sample_rate int",
+    )
+    row = resize_image(assets, out_w=3, out_h=3).first()
+    d = hashlib.md5(payload).digest()
+    idxs = [((y * 8 // 3) * 8 + (x * 8 // 3)) % 16 for y in range(3) for x in range(3)]
+    assert row.pixels == bytes(d[i] for i in idxs).hex().upper()
+    assert (row.rw, row.rh) == (3, 3)
+
+
 def test_simhash_near_for_near_texts(spark):
     df = spark.createDataFrame(
         [
