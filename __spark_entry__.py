@@ -471,6 +471,16 @@ def q_g_msbfs(spark, sf_dir):
     return multi_source_bfs(g, srcs).select("root", "id", "depth")
 
 
+def q_g_closeness(spark, sf_dir):
+    from graphblast_spark.algorithms import closeness_centrality
+
+    g = copurchase_graph(spark, sf_dir)
+    srcs = g.vertices.orderBy("id").limit(4)
+    return closeness_centrality(g, sources=srcs.select("id")).select(
+        "id", F.round("closeness", 6).alias("closeness")
+    )
+
+
 def q_g_diameter(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     srcs = g.vertices.orderBy("id").limit(4)
@@ -649,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_lgc": q_g_lgc,
         "g_msbfs": q_g_msbfs,
         "g_diameter": q_g_diameter,
+        "g_closeness": q_g_closeness,
         "d_token_count": q_d_token_count,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
@@ -1257,6 +1268,10 @@ def oracle_sql() -> dict[str, str]:
         "g_diameter": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},{_SQL_MSBFS_BODY}
             SELECT CAST(max(depth) AS BIGINT) AS diameter FROM lv""",
+        "g_closeness": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},{_SQL_MSBFS_BODY}
+            SELECT root AS id, round(sum(CAST(1.0 AS DOUBLE) / depth), 6) AS closeness
+            FROM lv WHERE depth > 0 GROUP BY root""",
         "d_token_count": rf"""
             WITH {_TOKS},
             bpe AS (

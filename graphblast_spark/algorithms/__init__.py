@@ -11,7 +11,7 @@ from graphblast_spark.algorithms.gc import (
     graph_coloring_mis,
 )
 from graphblast_spark.algorithms.lgc import lgc
-from graphblast_spark.algorithms.diameter import diameter, multi_source_bfs
+from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
 
 __all__ = [
     "pagerank",
@@ -27,6 +27,7 @@ __all__ = [
     "graph_coloring_jp",
     "graph_coloring_mis",
     "lgc",
+    "closeness_centrality",
     "diameter",
     "multi_source_bfs",
 ]

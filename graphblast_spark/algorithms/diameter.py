@@ -78,6 +78,34 @@ def multi_source_bfs(
     return visited
 
 
+def closeness_centrality(
+    g: Graph,
+    sources=None,
+    n_sources: int | None = 16,
+    desc: Descriptor = DEFAULT_DESC,
+) -> DataFrame:
+    """Harmonic closeness for sampled roots: (id, closeness double)
+    with closeness(r) = Σ_{v≠r} 1/d(r,v) over reached vertices —
+    harmonic (not classic 1/Σd) so disconnected graphs score sanely
+    (unreached pairs contribute 0, no infinities). One batched MSBFS
+    serves every root (same superstep loop as :func:`diameter`; the
+    reference's per-source sweep pattern, diameter.hpp:30-49, priced
+    at one job per LEVEL instead of per source×level). Sampled-roots
+    semantics: pass ``sources`` (iterable/DataFrame) or ``n_sources``
+    first-ids; at web scale always sample."""
+    if sources is None:
+        srcs = g.vertices.orderBy("id")
+        if n_sources is not None:
+            srcs = srcs.limit(n_sources)
+        sources = srcs.select("id")
+    visited = multi_source_bfs(g, sources, desc=desc)
+    return (
+        visited.filter(F.col("depth") > 0)
+        .groupBy(F.col("root").alias("id"))
+        .agg(F.sum(F.lit(1.0) / F.col("depth")).alias("closeness"))
+    )
+
+
 def diameter(
     g: Graph,
     n_sources: int | None = None,

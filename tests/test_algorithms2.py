@@ -98,3 +98,25 @@ def test_diameter(spark, name):
     got = diameter(g, n_sources=k)
     assert got == diameter_oracle(n, edges, list(range(k)))
     g.unpersist()
+
+
+def test_closeness_centrality_chain(spark):
+    """Path 0-1-2-3 (undirected): harmonic closeness is exactly
+    computable by hand — c(0)=1+1/2+1/3, c(1)=1+1+1/2."""
+    from pyspark.sql import functions as F
+
+    from graphblast_spark.algorithms import closeness_centrality
+    from graphblast_spark.matrix import Graph
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    ).withColumn("val", F.lit(1.0))
+    g = Graph.build(e, symmetrize=True)
+    got = {r.id: round(r.closeness, 6) for r in closeness_centrality(g, n_sources=None).collect()}
+    assert got == {
+        0: round(1 + 1 / 2 + 1 / 3, 6),
+        1: round(1 + 1 + 1 / 2, 6),
+        2: round(1 + 1 + 1 / 2, 6),
+        3: round(1 + 1 / 2 + 1 / 3, 6),
+    }
+    g.unpersist()
