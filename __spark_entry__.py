@@ -386,6 +386,15 @@ def q_g_mxm_2hop(spark, sf_dir):
     )
 
 
+def q_g_coloring_spec(spark, sf_dir):
+    from graphblast_spark.algorithms import graph_coloring_spec
+
+    g = copurchase_graph(spark, sf_dir)
+    return graph_coloring_spec(g, palette=8, fixed_rounds=2).select(
+        "id", F.col("color").cast("long").alias("color")
+    )
+
+
 def q_g_coloring_jp(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     return graph_coloring_jp(g, fixed_rounds=3).select(
@@ -642,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_mis": q_g_mis,
         "g_coloring": q_g_coloring,
         "g_coloring_jp": q_g_coloring_jp,
+        "g_coloring_spec": q_g_coloring_spec,
         "g_mxm_2hop": q_g_mxm_2hop,
         "g_ewise_add_mat": q_g_ewise_add_mat,
         "g_ewise_mult_scalar": q_g_ewise_mult_scalar,
@@ -914,6 +924,39 @@ def _sql_coloring_jp(rounds: int = 3) -> str:
     )
 
 
+def _sql_coloring_spec(rounds: int = 2, palette: int = 8) -> str:
+    """Speculative hash coloring (csrcolor analog, operations.hpp:816-826)
+    unrolled: initial color = LCG weight mod palette + 1; per round the
+    min-key endpoint of each monochrome edge recolors to the smallest
+    color absent from its whole neighborhood. Combined key wk = w·2³¹+id
+    (injective on the reference's int32 Index domain). The copurchase
+    edge table is symmetric by construction, so it IS the adjacency."""
+    parts = [
+        f"col0 AS MATERIALIZED (SELECT id, CAST(({_SQL_LCG_W}) % {palette} + 1 AS INT) AS c, "
+        f"({_SQL_LCG_W}) * 2147483648 + id AS wk FROM vertices)",
+    ]
+    for k in range(rounds):
+        parts += [
+            f"mnb{k} AS MATERIALIZED (SELECT d.id AS id, min(s.wk) AS mnb "
+            f"FROM edges e JOIN col{k} s ON e.src = s.id JOIN col{k} d ON e.dst = d.id "
+            f"WHERE s.c = d.c GROUP BY d.id)",
+            f"mov{k} AS MATERIALIZED (SELECT c.id FROM col{k} c "
+            f"JOIN mnb{k} m ON c.id = m.id WHERE c.wk < m.mnb)",
+            f"used{k} AS MATERIALIZED (SELECT mv.id, list(DISTINCT s.c) AS u "
+            f"FROM mov{k} mv JOIN edges e ON e.dst = mv.id "
+            f"JOIN col{k} s ON s.id = e.src GROUP BY mv.id)",
+            f"new{k} AS MATERIALIZED (SELECT mv.id, CAST(coalesce(list_min(list_filter("
+            f"generate_series(1, len(u.u) + 1), x -> NOT list_contains(u.u, x))), 1) AS INT) AS c "
+            f"FROM mov{k} mv LEFT JOIN used{k} u ON mv.id = u.id)",
+            f"col{k + 1} AS MATERIALIZED (SELECT c.id, coalesce(n.c, c.c) AS c, c.wk "
+            f"FROM col{k} c LEFT JOIN new{k} n ON c.id = n.id)",
+        ]
+    return (
+        f"WITH {_EDGES_MAT}, {_VERTICES_MAT},\n" + ",\n".join(parts) +
+        f"\nSELECT id, CAST(c AS BIGINT) AS color FROM col{rounds}"
+    )
+
+
 def _sql_lgc(iters: int = 4, alpha: float = 0.15, eps: float = 1e-6) -> str:
     """ACL push (lgc.hpp:106-134) unrolled to a fixed superstep count,
     float64 throughout, matching ``lgc(fixed_iters=iters)``."""
@@ -1178,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "g_mis": _sql_mis(10),
         "g_coloring": _sql_coloring(4),
         "g_coloring_jp": _sql_coloring_jp(3),
+        "g_coloring_spec": _sql_coloring_spec(2, 8),
         "g_ewise_mult_scalar": f"""
             WITH {_VERTICES}
             SELECT id, round(CAST((id % 7) + 1 AS DOUBLE) * CAST(2.5 AS DOUBLE), 6) AS val

@@ -9,6 +9,7 @@ from graphblast_spark.algorithms.gc import (
     graph_coloring,
     graph_coloring_jp,
     graph_coloring_mis,
+    graph_coloring_spec,
 )
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
@@ -26,6 +27,7 @@ __all__ = [
     "graph_coloring",
     "graph_coloring_jp",
     "graph_coloring_mis",
+    "graph_coloring_spec",
     "lgc",
     "closeness_centrality",
     "diameter",

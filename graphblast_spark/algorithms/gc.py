@@ -158,6 +158,128 @@ def graph_coloring_mis(
     return out
 
 
+def graph_coloring_spec(
+    g: Graph,
+    palette: int = 8,
+    desc: Descriptor = DEFAULT_DESC,
+    runner: SuperstepRunner | None = None,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """Speculative hash coloring + iterative conflict repair — the
+    engine's analog of the reference's cuSPARSE ``csrcolor`` binding
+    (operations.hpp:816-826, used by ggc_cusparse.cu): EVERY vertex
+    guesses a color up front (LCG weight mod ``palette``), then rounds
+    of deterministic repair fix the conflicts. Unlike IS/JP (one
+    independent set per round), the whole graph is colored from round
+    zero and only the conflicted fraction does any further work — the
+    fewest-rounds variant when the palette is generous.
+
+    Per round: (1) conflict edges = adjacent equal colors; (2) movers =
+    conflicted vertices whose combined key (w·2³¹+id, injective for the
+    reference's int32 Index domain, types.hpp:18) is SMALLER than every
+    equal-color neighbor's — so two adjacent same-color vertices never
+    both move; (3) each mover takes the smallest color absent from its
+    whole current neighborhood (may exceed ``palette`` — the palette
+    grows as needed). Movers with disjoint old colors can collide on a
+    new color and re-conflict next round; repair iterates to zero
+    conflicts (``desc.max_niter`` bounds it). With ``fixed_rounds`` the
+    deterministic intermediate state is returned as-is — possibly still
+    conflicted — for oracle comparison; properness is only guaranteed
+    at convergence.
+
+    Returns (id long, color int), colors 1-based, every vertex colored."""
+    spark = g.edges.sparkSession
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    adj = (
+        g.edges.select("src", "dst")
+        .unionByName(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+
+    def init():
+        w = lcg_weight(F.col("id"))
+        return {
+            "colors": g.vertices.select(
+                "id",
+                (w % palette + 1).cast("int").alias("color"),
+                (w * F.lit(1 << 31) + F.col("id")).alias("wk"),
+            )
+        }
+
+    state, start_iter, _ = runner.resume_or_init(init)
+    colors = state["colors"]
+
+    max_rounds = fixed_rounds if fixed_rounds is not None else desc.max_niter
+    with stable_partitions(spark):
+        for it in range(start_iter, max_rounds):
+            t0 = time.time()
+            c_nbr = colors.select(
+                F.col("id").alias("src"), F.col("color").alias("ncolor"),
+                F.col("wk").alias("nwk"),
+            )
+            # min equal-color-neighbor key per conflicted vertex
+            mnb = (
+                adj.join(c_nbr, on="src")
+                .join(
+                    colors.select(F.col("id").alias("dst"), "color", "wk"),
+                    on="dst",
+                )
+                .filter(F.col("ncolor") == F.col("color"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("nwk").alias("mnb"))
+            )
+            movers = (
+                colors.join(mnb, on="id")
+                .filter(F.col("wk") < F.col("mnb"))
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+            n_mov = movers.count()
+            if n_mov == 0:
+                runner.commit(it, {"colors": colors}, scalars={"movers": 0},
+                              metrics={"ms": 0.0})
+                break
+            used = (
+                adj.join(movers.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
+                .join(c_nbr.select("src", "ncolor"), on="src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.collect_set("ncolor").alias("used"))
+            )
+            newc = movers.join(used, on="id", how="left").select(
+                "id",
+                F.coalesce(
+                    F.array_min(
+                        F.array_except(
+                            F.sequence(F.lit(1), F.coalesce(F.size("used"), F.lit(0)) + 1),
+                            F.coalesce("used", F.array().cast("array<int>")),
+                        )
+                    ),
+                    F.lit(1),
+                ).cast("int").alias("newcolor"),
+            )
+            colors = (
+                colors.join(newc, on="id", how="left")
+                .select(
+                    "id",
+                    F.coalesce("newcolor", "color").alias("color"),
+                    "wk",
+                )
+            )
+            state = runner.truncate({"colors": colors})
+            colors = state["colors"]
+            runner.commit(
+                it, state, scalars={"movers": n_mov},
+                metrics={"ms": (time.time() - t0) * 1000.0, "movers": n_mov},
+            )
+
+    out = colors.select("id", "color")
+    adj.unpersist()
+    return out
+
+
 def graph_coloring_jp(
     g: Graph,
     desc: Descriptor = DEFAULT_DESC,

@@ -120,3 +120,22 @@ def test_closeness_centrality_chain(spark):
         3: round(1 + 1 / 2 + 1 / 3, 6),
     }
     g.unpersist()
+
+
+@pytest.mark.parametrize("name", ["test_mis", "chesapeake"])
+def test_spec_coloring_converges_proper(spark, name):
+    """Speculative hash coloring: at convergence every vertex is
+    colored and no edge is monochrome (csrcolor-analog contract)."""
+    from graphblast_spark.algorithms import graph_coloring_spec
+
+    n, edges = _sym_fixture_edges(name)
+    g = fixture_graph(spark, name)
+    got = np.zeros(n, dtype=np.int64)
+    for r in graph_coloring_spec(g, palette=4).collect():
+        got[r["id"]] = r["color"]
+    assert (got > 0).all()
+    nbr = _adj(n, edges)
+    for v in range(n):
+        for u in nbr[v]:
+            assert got[v] != got[u], f"improper edge {v}-{u}"
+    g.unpersist()
