@@ -480,6 +480,15 @@ def q_g_msbfs(spark, sf_dir):
     return multi_source_bfs(g, srcs).select("root", "id", "depth")
 
 
+def q_g_kcore(spark, sf_dir):
+    from graphblast_spark.algorithms import k_core
+
+    g = copurchase_graph(spark, sf_dir)
+    return k_core(g, k=64, fixed_rounds=2).select(
+        "id", F.col("in_core").cast("long").alias("in_core")
+    )
+
+
 def q_g_closeness(spark, sf_dir):
     from graphblast_spark.algorithms import closeness_centrality
 
@@ -670,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_msbfs": q_g_msbfs,
         "g_diameter": q_g_diameter,
         "g_closeness": q_g_closeness,
+        "g_kcore": q_g_kcore,
         "d_token_count": q_d_token_count,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
@@ -1316,6 +1326,19 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE {_EDGES}, {_VERTICES},{_SQL_MSBFS_BODY}
             SELECT root AS id, round(sum(CAST(1.0 AS DOUBLE) / depth), 6) AS closeness
             FROM lv WHERE depth > 0 GROUP BY root""",
+        # k-core peel unrolled 2 rounds (k=64); the symmetric copurchase
+        # edge table IS the adjacency, degree = count within survivors
+        "g_kcore": f"""
+            WITH {_EDGES_MAT}, {_VERTICES_MAT},
+            r0 AS MATERIALIZED (SELECT id FROM vertices),
+            d0 AS MATERIALIZED (SELECT e.src AS id, count(*) AS c FROM edges e
+              JOIN r0 a ON e.src = a.id JOIN r0 b ON e.dst = b.id GROUP BY e.src),
+            r1 AS MATERIALIZED (SELECT r.id FROM r0 r JOIN d0 d ON r.id = d.id WHERE d.c >= 64),
+            d1 AS MATERIALIZED (SELECT e.src AS id, count(*) AS c FROM edges e
+              JOIN r1 a ON e.src = a.id JOIN r1 b ON e.dst = b.id GROUP BY e.src),
+            r2 AS MATERIALIZED (SELECT r.id FROM r1 r JOIN d1 d ON r.id = d.id WHERE d.c >= 64)
+            SELECT v.id, CAST(CASE WHEN rr.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+            FROM vertices v LEFT JOIN r2 rr ON v.id = rr.id""",
         "d_token_count": rf"""
             WITH {_TOKS},
             bpe AS (

@@ -139,3 +139,23 @@ def test_spec_coloring_converges_proper(spark, name):
         for u in nbr[v]:
             assert got[v] != got[u], f"improper edge {v}-{u}"
     g.unpersist()
+
+
+def test_k_core_triangle_with_pendant(spark):
+    """Triangle 0-1-2 plus pendant 3-0: the 2-core is exactly the
+    triangle; vertex 3 (degree 1) peels in round one."""
+    from pyspark.sql import functions as F
+
+    from graphblast_spark.algorithms import k_core
+    from graphblast_spark.matrix import Graph
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (0, 3)], "src long, dst long"
+    ).withColumn("val", F.lit(1.0))
+    g = Graph.build(e, symmetrize=True)
+    got = {r.id: r.in_core for r in k_core(g, k=2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0}
+    # k=3: the triangle is not a 3-core; everything peels
+    got3 = {r.id: r.in_core for r in k_core(g, k=3).collect()}
+    assert got3 == {0: 0, 1: 0, 2: 0, 3: 0}
+    g.unpersist()
