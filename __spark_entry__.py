@@ -480,6 +480,18 @@ def q_g_msbfs(spark, sf_dir):
     return multi_source_bfs(g, srcs).select("root", "id", "depth")
 
 
+def q_g_hits(spark, sf_dir):
+    from graphblast_spark.algorithms import hits
+
+    # directed bipartite part→supplier graph: parts are pure hubs,
+    # suppliers pure authorities — the structure HITS separates
+    g = partsupp_graph(spark, sf_dir)
+    return hits(g, fixed_iters=3).select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_g_kcore(spark, sf_dir):
     from graphblast_spark.algorithms import k_core
 
@@ -680,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_diameter": q_g_diameter,
         "g_closeness": q_g_closeness,
         "g_kcore": q_g_kcore,
+        "g_hits": q_g_hits,
         "d_token_count": q_d_token_count,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
@@ -931,6 +944,33 @@ def _sql_coloring_jp(rounds: int = 3) -> str:
         f"WITH {_EDGES_MAT}, {_VERTICES_MAT},\n" + ",\n".join(parts) +
         f"\nSELECT v.id, CAST(coalesce(cc.color, 0) AS BIGINT) AS color"
         f"\nFROM vertices v LEFT JOIN col{rounds} cc ON v.id = cc.id"
+    )
+
+
+def _sql_hits(iters: int = 3) -> str:
+    """HITS dual power iteration unrolled (algorithms/hits.py): per
+    iteration authority = L1-normalized in-link hub sum, then hub =
+    L1-normalized out-link authority sum, density restored over the
+    full vertex universe."""
+    parts = [
+        "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / "
+        "(SELECT count(*) FROM ps_vertices) AS v FROM ps_vertices)",
+    ]
+    for k in range(iters):
+        parts += [
+            f"ra{k} AS MATERIALIZED (SELECT pv.id, coalesce(s.c, CAST(0.0 AS DOUBLE)) AS c "
+            f"FROM ps_vertices pv LEFT JOIN (SELECT e.dst AS id, sum(h.v) AS c "
+            f"FROM ps_edges e JOIN h{k} h ON e.src = h.id GROUP BY e.dst) s ON pv.id = s.id)",
+            f"a{k + 1} AS MATERIALIZED (SELECT id, c / (SELECT sum(c) FROM ra{k}) AS v FROM ra{k})",
+            f"rh{k} AS MATERIALIZED (SELECT pv.id, coalesce(s.c, CAST(0.0 AS DOUBLE)) AS c "
+            f"FROM ps_vertices pv LEFT JOIN (SELECT e.src AS id, sum(a.v) AS c "
+            f"FROM ps_edges e JOIN a{k + 1} a ON e.dst = a.id GROUP BY e.src) s ON pv.id = s.id)",
+            f"h{k + 1} AS MATERIALIZED (SELECT id, c / (SELECT sum(c) FROM rh{k}) AS v FROM rh{k})",
+        ]
+    return (
+        f"WITH {_PS_EDGES}, {_PS_VERTICES},\n" + ",\n".join(parts) +
+        f"\nSELECT h.id, round(h.v, 6) AS hub, round(a.v, 6) AS authority"
+        f"\nFROM h{iters} h JOIN a{iters} a ON h.id = a.id"
     )
 
 
@@ -1232,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "g_coloring": _sql_coloring(4),
         "g_coloring_jp": _sql_coloring_jp(3),
         "g_coloring_spec": _sql_coloring_spec(2, 8),
+        "g_hits": _sql_hits(3),
         "g_ewise_mult_scalar": f"""
             WITH {_VERTICES}
             SELECT id, round(CAST((id % 7) + 1 AS DOUBLE) * CAST(2.5 AS DOUBLE), 6) AS val

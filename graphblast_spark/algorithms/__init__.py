@@ -11,6 +11,7 @@ from graphblast_spark.algorithms.gc import (
     graph_coloring_mis,
     graph_coloring_spec,
 )
+from graphblast_spark.algorithms.hits import hits
 from graphblast_spark.algorithms.kcore import k_core
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
@@ -29,6 +30,7 @@ __all__ = [
     "graph_coloring_jp",
     "graph_coloring_mis",
     "graph_coloring_spec",
+    "hits",
     "k_core",
     "lgc",
     "closeness_centrality",

@@ -159,3 +159,23 @@ def test_k_core_triangle_with_pendant(spark):
     got3 = {r.id: r.in_core for r in k_core(g, k=3).collect()}
     assert got3 == {0: 0, 1: 0, 2: 0, 3: 0}
     g.unpersist()
+
+
+def test_hits_bipartite_structure(spark):
+    """Directed star 0→{1,2,3}: 0 is a pure hub (authority 0), targets
+    are pure authorities (hub 0) with equal scores summing to 1."""
+    from pyspark.sql import functions as F
+
+    from graphblast_spark.algorithms import hits
+    from graphblast_spark.matrix import Graph
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    ).withColumn("val", F.lit(1.0))
+    g = Graph.build(e)
+    got = {r.id: (round(r.hub, 9), round(r.authority, 9)) for r in hits(g, fixed_iters=3).collect()}
+    assert got[0] == (1.0, 0.0)
+    third = round(1 / 3, 9)
+    for v in (1, 2, 3):
+        assert got[v] == (0.0, third)
+    g.unpersist()
