@@ -17,6 +17,10 @@ bench:
 scaling:
 	SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_RMAT_SCALE=23 python bench.py --scaling 4 16
 
+# second-algorithm north-rule evidence (CC to convergence)
+scaling-cc:
+	SPARK_GRAFT_SCALING_ALGO=cc SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_RMAT_SCALE=22 python bench.py --scaling 4 16
+
 clean:
 	rm -rf dist .bench_scratch .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} +
