@@ -179,3 +179,16 @@ def test_hits_bipartite_structure(spark):
     for v in (1, 2, 3):
         assert got[v] == (0.0, third)
     g.unpersist()
+
+
+def test_k_core_nesting_property(spark):
+    """(k+1)-core ⊆ k-core on a real fixture — the defining nesting of
+    the core decomposition."""
+    from graphblast_spark.algorithms import k_core
+
+    g = fixture_graph(spark, "chesapeake")
+    c2 = {r.id for r in k_core(g, k=2).collect() if r.in_core}
+    c4 = {r.id for r in k_core(g, k=4).collect() if r.in_core}
+    assert c4 <= c2
+    assert c2, "chesapeake has a non-empty 2-core"
+    g.unpersist()
