@@ -74,7 +74,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="graphblast_spark")
     p.add_argument("algorithm",
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
-                            "gc", "gc-jp", "lgc", "diameter"])
+                            "gc", "gc-jp", "gc-spec", "lgc", "diameter",
+                            "kcore", "closeness", "hits"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,val])")
     p.add_argument("--pages", help="pages-schema parquet (north-rule input)")
     p.add_argument("--fixture", help="named reference fixture graph")
@@ -90,6 +91,11 @@ def main(argv=None) -> int:
     p.add_argument("--niter", type=int, default=None,
                    help="fixed iteration count (skip convergence checks)")
     p.add_argument("--switchpoint", type=float, default=0.01)
+    p.add_argument("--k", type=int, default=2, help="kcore: minimum degree")
+    p.add_argument("--palette", type=int, default=8,
+                   help="gc-spec: initial speculative palette size")
+    p.add_argument("--n-sources", type=int, default=16,
+                   help="closeness/diameter: sampled root count")
     p.add_argument("--save-graph", help="persist the built graph to the "
                    "bucketed store under this name (build once, reload "
                    "shuffle-free in later jobs)")
@@ -152,11 +158,19 @@ def main(argv=None) -> int:
         out = A.graph_coloring(g, desc=desc, runner=runner)
     elif args.algorithm == "gc-jp":
         out = A.graph_coloring_jp(g, desc=desc, runner=runner)
+    elif args.algorithm == "gc-spec":
+        out = A.graph_coloring_spec(g, palette=args.palette, desc=desc, runner=runner)
+    elif args.algorithm == "kcore":
+        out = A.k_core(g, k=args.k, desc=desc, runner=runner)
+    elif args.algorithm == "closeness":
+        out = A.closeness_centrality(g, n_sources=min(g.n, args.n_sources), desc=desc)
+    elif args.algorithm == "hits":
+        out = A.hits(g, fixed_iters=args.niter or 5, runner=runner)
     elif args.algorithm == "lgc":
         out = A.lgc(g, source=args.source, alpha=0.15, eps=1e-6,
                     desc=desc, runner=runner)
     else:  # diameter
-        d = A.diameter(g, n_sources=min(g.n, 16), desc=desc)
+        d = A.diameter(g, n_sources=min(g.n, args.n_sources), desc=desc)
         out = spark.createDataFrame([(d,)], "diameter long")
     n_out = out.count()
     t_algo = time.time() - t0

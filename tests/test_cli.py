@@ -76,3 +76,16 @@ def test_cli_tc_and_resume_dir(spark, capsys, tmp_path):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["algorithm"] == "tc"
+
+
+def test_cli_new_algorithms_smoke(spark, capsys, tmp_path):
+    for argv in (
+        ["kcore", "--fixture", "chesapeake", "--k", "3"],
+        ["closeness", "--fixture", "chesapeake", "--n-sources", "4"],
+        ["hits", "--fixture", "chesapeake", "--niter", "3"],
+        ["gc-spec", "--fixture", "chesapeake", "--palette", "4"],
+    ):
+        rc = main(argv)
+        assert rc == 0, argv
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows_out"] > 0, argv
