@@ -74,7 +74,11 @@ def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> Data
     """(url) → (url, id) with ids dense 0..n-1 in global url sort order.
 
     Two-pass scalable dense rank: range-partition + in-partition sort,
-    collect per-partition counts (tiny), then offset + local position.
+    collect per-partition DISTINCT counts (tiny), then offset + local
+    dense position. Dedup rides the range shuffle: equal urls land in
+    the same range partition, adjacent after the sort, so duplicates are
+    skipped while assigning ids — no separate ``distinct`` exchange of
+    the full URL table (one full shuffle saved at any scale).
     """
     spark = urls.sparkSession
     if num_partitions is None:
@@ -85,14 +89,13 @@ def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> Data
     # release with the result instead of leaking a cache entry per call
     sorted_urls = (
         urls.select("url")
-        .distinct()
         .repartitionByRange(num_partitions, "url")
         .sortWithinPartitions("url")
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     counts = dict(
-        sorted_urls.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        sorted_urls.groupBy("__pid").agg(F.count_distinct("url").alias("c")).collect()
     )
     offsets = {}
     acc = 0
@@ -103,15 +106,22 @@ def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> Data
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pos = None
+        prev = None  # last url of the previous batch (same partition)
         for b in batches:
             if len(b) == 0:
                 continue
             pid = int(b["__pid"].iloc[0])
             if pos is None:
                 pos = boff.value[pid]
-            ids = range(pos, pos + len(b))
-            pos += len(b)
-            yield pd.DataFrame({"url": b["url"], "id": pd.Series(ids, dtype="int64")})
+            u = b["url"]
+            keep = u.ne(u.shift())  # first occurrence in sorted order
+            if prev is not None:
+                keep.iloc[0] = u.iloc[0] != prev
+            kept = u[keep].to_numpy()
+            ids = range(pos, pos + len(kept))
+            pos += len(kept)
+            prev = u.iloc[-1]
+            yield pd.DataFrame({"url": kept, "id": pd.Series(ids, dtype="int64")})
 
     return sorted_urls.mapInPandas(add_ids, schema="url string, id long")
 

@@ -62,6 +62,16 @@ def test_dense_id_assignment(spark, pages):
     assert [r.id for r in rows] == list(range(N_PAGES))  # dense 0..n-1 in url order
 
 
+def test_dense_id_assignment_dedups_in_shuffle(spark):
+    # duplicate urls (re-crawls) must collapse without a distinct():
+    # dedup rides the range shuffle (equal keys → same partition,
+    # adjacent after the sort) and ids stay dense over DISTINCT urls
+    urls = spark.createDataFrame([(f"u{i % 37:03d}",) for i in range(500)], "url string")
+    out = assign_dense_ids(urls, num_partitions=5).orderBy("id").collect()
+    assert [r.id for r in out] == list(range(37))
+    assert [r.url for r in out] == sorted({f"u{i % 37:03d}" for i in range(500)})
+
+
 def test_distill_clean_invariants(spark, pages):
     edges, url_map = distill_edges(pages)
     e = edges.persist()
