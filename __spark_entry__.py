@@ -492,6 +492,28 @@ def q_g_hits(spark, sf_dir):
     )
 
 
+def q_g_betweenness(spark, sf_dir):
+    from graphblast_spark.algorithms import betweenness_centrality
+
+    # depth-bounded batched Brandes from the first 4 roots — the
+    # Brandes-Pich sampled form; depth bound 2 is pinned on BOTH sides
+    g = copurchase_graph(spark, sf_dir)
+    srcs = g.vertices.orderBy("id").limit(4)
+    return betweenness_centrality(g, sources=srcs, max_depth=2).select(
+        "id", F.round("bc", 6).alias("bc")
+    )
+
+
+def q_g_ppr(spark, sf_dir):
+    from graphblast_spark.algorithms import personalized_pagerank
+
+    g = copurchase_graph(spark, sf_dir)
+    seeds = g.vertices.orderBy("id").limit(4)
+    return personalized_pagerank(g, seeds, fixed_iters=10).select(
+        "id", F.round("val", 6).alias("ppr")
+    )
+
+
 def q_g_kcore(spark, sf_dir):
     from graphblast_spark.algorithms import k_core
 
@@ -693,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_closeness": q_g_closeness,
         "g_kcore": q_g_kcore,
         "g_hits": q_g_hits,
+        "g_betweenness": q_g_betweenness,
+        "g_ppr": q_g_ppr,
         "d_token_count": q_d_token_count,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
@@ -1054,6 +1078,50 @@ def _sql_resize(w: int = 8, h: int = 8, out_w: int = 3, out_h: int = 3) -> str:
         FROM px"""
 
 
+def _sql_betweenness(depth: int = 2, n_roots: int = 4) -> str:
+    """Depth-bounded batched Brandes (algorithms/bc.py) unrolled:
+    forward sigma levels l0..lD (anti-join mask per level), backward
+    delta sweep dD..d0, ordered-pair convention, roots = first
+    ``n_roots`` vertex ids — identical bound and roots to the Spark
+    side's ``betweenness_centrality(sources, max_depth=depth)``."""
+    parts = [
+        f"l0 AS MATERIALIZED (SELECT id AS root, id, CAST(1.0 AS DOUBLE) AS sigma "
+        f"FROM (SELECT id FROM vertices ORDER BY id LIMIT {n_roots}))",
+        "sp0 AS MATERIALIZED (SELECT root, id FROM l0)",
+    ]
+    for k in range(depth):
+        parts += [
+            f"l{k + 1} AS MATERIALIZED (SELECT f.root, e.dst AS id, sum(f.sigma) AS sigma "
+            f"FROM l{k} f JOIN edges e ON f.id = e.src "
+            f"LEFT JOIN sp{k} p ON p.root = f.root AND p.id = e.dst "
+            f"WHERE p.id IS NULL GROUP BY f.root, e.dst)",
+            f"sp{k + 1} AS MATERIALIZED (SELECT root, id FROM sp{k} "
+            f"UNION ALL SELECT root, id FROM l{k + 1})",
+        ]
+    parts.append(
+        f"d{depth} AS MATERIALIZED (SELECT root, id, CAST(0.0 AS DOUBLE) AS delta FROM l{depth})"
+    )
+    for k in range(depth - 1, -1, -1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT f.root, f.id, "
+            f"coalesce(sum(f.sigma / t.sigma * (1.0 + t.delta)), CAST(0.0 AS DOUBLE)) AS delta "
+            f"FROM l{k} f "
+            f"LEFT JOIN edges e ON f.id = e.src "
+            f"LEFT JOIN (SELECT n.root, n.id, n.sigma, dd.delta FROM l{k + 1} n "
+            f"JOIN d{k + 1} dd ON dd.root = n.root AND dd.id = n.id) t "
+            f"ON t.root = f.root AND t.id = e.dst "
+            f"GROUP BY f.root, f.id)"
+        )
+    all_d = " UNION ALL ".join(f"SELECT root, id, delta FROM d{k}" for k in range(depth + 1))
+    return (
+        f"WITH {_EDGES_MAT}, {_VERTICES_MAT},\n" + ",\n".join(parts) +
+        f",\nalldelta AS ({all_d}),"
+        f"\nagg AS (SELECT id, sum(delta) AS bc FROM alldelta WHERE id <> root GROUP BY id)"
+        f"\nSELECT v.id, round(coalesce(agg.bc, CAST(0.0 AS DOUBLE)), 6) AS bc"
+        f"\nFROM vertices v LEFT JOIN agg ON v.id = agg.id"
+    )
+
+
 _SQL_MSBFS_BODY = """
 srcs AS (SELECT id FROM vertices ORDER BY id LIMIT 4),
 b(root, id, depth) AS (
@@ -1273,6 +1341,31 @@ def oracle_sql() -> dict[str, str]:
         "g_coloring_jp": _sql_coloring_jp(3),
         "g_coloring_spec": _sql_coloring_spec(2, 8),
         "g_hits": _sql_hits(3),
+        "g_betweenness": _sql_betweenness(depth=2, n_roots=4),
+        "g_ppr": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            outdeg AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+            ew AS (
+              SELECT e.src, e.dst, CAST(0.85 AS DOUBLE) / o.c AS w
+              FROM edges e JOIN outdeg o ON e.src = o.id
+              UNION ALL
+              SELECT id, id, CAST(0.0 AS DOUBLE) FROM vertices
+            ),
+            seeds AS (SELECT id FROM vertices ORDER BY id LIMIT 4),
+            pr(iter, id, val) AS (
+              SELECT 0, v.id, CASE WHEN s.id IS NOT NULL
+                     THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+              FROM vertices v LEFT JOIN seeds s ON v.id = s.id
+              UNION ALL
+              SELECT p.iter + 1, e.dst,
+                     (CASE WHEN s.id IS NOT NULL THEN CAST(0.15 AS DOUBLE) / 4
+                      ELSE CAST(0.0 AS DOUBLE) END) + sum(e.w * p.val)
+              FROM pr p JOIN ew e ON p.id = e.src
+              LEFT JOIN seeds s ON e.dst = s.id
+              WHERE p.iter < 10
+              GROUP BY p.iter, e.dst, s.id
+            )
+            SELECT id, round(val, 6) AS ppr FROM pr WHERE iter = 10""",
         "g_ewise_mult_scalar": f"""
             WITH {_VERTICES}
             SELECT id, round(CAST((id % 7) + 1 AS DOUBLE) * CAST(2.5 AS DOUBLE), 6) AS val

@@ -1,4 +1,5 @@
-from graphblast_spark.algorithms.pagerank import pagerank, pagerank_prep
+from graphblast_spark.algorithms.pagerank import pagerank, pagerank_prep, personalized_pagerank
+from graphblast_spark.algorithms.bc import betweenness_centrality
 from graphblast_spark.algorithms.cc import connected_components
 from graphblast_spark.algorithms.lp import label_propagation_majority, label_propagation_min
 from graphblast_spark.algorithms.tc import triangle_count
@@ -19,6 +20,8 @@ from graphblast_spark.algorithms.diameter import closeness_centrality, diameter,
 __all__ = [
     "pagerank",
     "pagerank_prep",
+    "personalized_pagerank",
+    "betweenness_centrality",
     "connected_components",
     "label_propagation_majority",
     "label_propagation_min",

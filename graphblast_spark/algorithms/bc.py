@@ -1,0 +1,167 @@
+"""Betweenness centrality — batched multi-source Brandes.
+
+The reference ships a BC fixture (``data/small/test_bc.mtx``) and the
+GraphBLAST paper family treats BC as a core linear-algebra workload
+(forward sigma sweep, backward delta sweep over the adjacency), but the
+repo itself has no ``bc.hpp`` — so this is a beyond-reference addition
+built from the engine's own batched-MSBFS machinery
+(``algorithms/diameter.py``) plus the Brandes dependency accumulation.
+Running from a bounded root batch is the standard Brandes–Pich sampled
+approximation (all roots = exact BC); ``max_depth`` additionally bounds
+the sweep for the unrolled-SQL oracle contract.
+
+Physical plan (scale notes):
+- forward level d → d+1: frontier(root, id, sigma) ⋈ edges on id=src
+  (shuffle-hash against the persisted src-partitioned edge table),
+  groupBy (root, dst) summing sigma (map-side partial absorbs hub
+  fan-in), then a left_anti join against the accumulated shortest-path
+  table drops already-settled pairs — the visited mask, exactly the
+  BFS/MSBFS pattern. One eager localCheckpoint per level (the
+  superstep action, lineage truncated).
+- state is O(reached (root, vertex) pairs) — the same bound MSBFS
+  carries; batch the roots to budget memory, as diameter() does.
+- backward level d+1 → d: DAG edges are recovered by joining level-d
+  vertices to level-(d+1) vertices through the edge table (no stored
+  predecessor lists — recomputing the join is cheaper at scale than
+  materializing per-vertex predecessor arrays). Contribution
+  sigma_v/sigma_w · (1 + delta_w), groupBy (root, v) sum.
+- bc(v) = Σ_roots delta(root, v), v ≠ root; dense over all vertices.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphblast_spark.matrix import Graph
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+
+
+def betweenness_centrality(
+    g: Graph,
+    sources: DataFrame | list[int] | None = None,
+    n_sources: int = 8,
+    max_depth: int | None = None,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Returns (id long, bc double), dense over all vertices.
+
+    Ordered-pair (directed) convention: every (s, t) root/target pair
+    counts once, so on a symmetrized graph scores are 2× the undirected
+    convention — halve externally if needed.
+
+    ``sources``: root set as a DataFrame with an ``id`` column or a
+    list of ids; default = the first ``n_sources`` vertex ids (selected
+    as a DataFrame — no driver collect). ``max_depth`` bounds the
+    forward sweep (paths longer than it are ignored on BOTH sweeps —
+    the depth-bounded semantics the oracle contract pins); ``None``
+    runs to frontier exhaustion (exact within the root sample).
+    """
+    spark = g.edges.sparkSession
+    edges = g.edges.select("src", "dst")
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    if sources is None:
+        roots = g.vertices.select("id").orderBy("id").limit(n_sources)
+    elif isinstance(sources, DataFrame):
+        roots = sources.select("id")
+    else:
+        roots = spark.createDataFrame([(int(s),) for s in sources], "id long")
+
+    # -- forward: per-level frontiers (root, id, sigma) -----------------
+    level0 = roots.select(
+        F.col("id").alias("root"), "id", F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels: list[DataFrame] = [level0]
+    sp_all = level0.select("root", "id")  # settled (root, vertex) pairs
+
+    with stable_partitions(spark):
+        d = 0
+        while max_depth is None or d < max_depth:
+            t0 = time.time()
+            fr = levels[d].hint("shuffle_hash")
+            nxt = (
+                edges.join(fr, on=edges["src"] == fr["id"], how="inner")
+                .groupBy(fr["root"].alias("root"), edges["dst"].alias("id"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(sp_all, on=["root", "id"], how="left_anti")
+                .localCheckpoint(eager=True)  # superstep action
+            )
+            n_new = nxt.count()
+            runner.commit(d, {}, scalars={"frontier": n_new},
+                          metrics={"ms": (time.time() - t0) * 1000.0, "phase": "fwd"})
+            if n_new == 0:
+                break
+            levels.append(nxt)
+            sp_all = sp_all.unionByName(nxt.select("root", "id")).localCheckpoint(eager=True)
+            d += 1
+
+    deepest = len(levels) - 1
+
+    # -- backward: delta accumulation, deepest level has delta 0 --------
+    deltas: list[DataFrame] = []  # (root, id, delta) per level, deepest first
+    delta_next: DataFrame | None = None  # deltas at level d+1
+    with stable_partitions(spark):
+        for d in range(deepest - 1, -1, -1):
+            t0 = time.time()
+            cur, nxt_lvl = levels[d], levels[d + 1]
+            succ = nxt_lvl.select(
+                F.col("root").alias("t_root"),
+                F.col("id").alias("t_id"),
+                F.col("sigma").alias("t_sigma"),
+            )
+            if delta_next is not None:
+                succ = succ.join(
+                    delta_next.select(
+                        F.col("root").alias("t_root"),
+                        F.col("id").alias("t_id"),
+                        "delta",
+                    ),
+                    on=["t_root", "t_id"],
+                    how="left",
+                ).select("t_root", "t_id", "t_sigma",
+                         F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            else:
+                succ = succ.withColumn("delta", F.lit(0.0))
+            contrib = (
+                cur.join(edges, on=cur["id"] == edges["src"], how="inner")
+                .join(
+                    succ,
+                    on=(cur["root"] == succ["t_root"]) & (edges["dst"] == succ["t_id"]),
+                    how="inner",
+                )
+                .groupBy(cur["root"].alias("root"), cur["id"].alias("id"))
+                .agg(
+                    F.sum(
+                        (cur["sigma"] / succ["t_sigma"]) * (F.lit(1.0) + succ["delta"])
+                    ).alias("delta")
+                )
+            )
+            # vertices at this level with no DAG successor get delta 0
+            delta_next = (
+                cur.select("root", "id")
+                .join(contrib, on=["root", "id"], how="left")
+                .select("root", "id", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+                .localCheckpoint(eager=True)  # superstep action
+            )
+            runner.commit(deepest - 1 - d, {},
+                          metrics={"ms": (time.time() - t0) * 1000.0, "phase": "bwd"})
+            deltas.append(delta_next)
+
+    if not deltas:
+        return g.vertices.select("id", F.lit(0.0).alias("bc"))
+
+    all_deltas = deltas[0]
+    for dd in deltas[1:]:
+        all_deltas = all_deltas.unionByName(dd)
+    bc = (
+        all_deltas.filter(F.col("id") != F.col("root"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("bc"))
+    )
+    return g.vertices.select("id").join(bc, on="id", how="left").select(
+        "id", F.coalesce("bc", F.lit(0.0)).alias("bc")
+    )

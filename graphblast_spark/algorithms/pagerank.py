@@ -141,3 +141,70 @@ def pagerank(
     if not caller_prep:
         w_edges.unpersist()
     return ranks
+
+
+def personalized_pagerank(
+    g: Graph,
+    seeds: DataFrame | list[int],
+    alpha: float = 0.85,
+    fixed_iters: int = 10,
+    w_edges: DataFrame | None = None,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass (1-α) lands uniformly on
+    the seed set S instead of all vertices; init = 1/|S| on S, 0
+    elsewhere. Same superstep plan as :func:`pagerank` (persisted
+    src-partitioned weighted edges, shuffle-hash probe, union-before-agg
+    density restore, one eager localCheckpoint per iteration) — only the
+    teleport vector changes: a per-vertex base table rides the same
+    pre-aggregate union the dense-restore zeros use, so PPR costs
+    exactly what PR costs per superstep.
+
+    Returns (id long, val double) dense over all vertices."""
+    spark = g.edges.sparkSession
+    if isinstance(seeds, list):
+        seeds = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    seeds = seeds.select("id")
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+
+    caller_prep = w_edges is not None
+    if w_edges is None:
+        w_edges = pagerank_prep(g, alpha)
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    tele = (1.0 - alpha) / n_seeds
+    # base = teleport on seeds + explicit zero per vertex (density)
+    base = (
+        g.vertices.join(seeds, on="id", how="left_semi")
+        .select("id", F.lit(tele).alias("c"))
+        .unionByName(g.vertices.select("id", F.lit(0.0).alias("c")))
+        .localCheckpoint(eager=True)
+    )
+    ranks = (
+        g.vertices.join(seeds.withColumn("__s", F.lit(1)), on="id", how="left")
+        .select("id", F.when(F.col("__s").isNotNull(), 1.0 / n_seeds)
+                .otherwise(0.0).alias("val"))
+    )
+
+    with stable_partitions(spark):
+        for it in range(fixed_iters):
+            t0 = time.time()
+            r = ranks.hint("shuffle_hash")
+            contribs = (
+                w_edges.join(r, on=w_edges["src"] == r["id"], how="inner")
+                .select(w_edges["dst"].alias("id"), (F.col("w") * r["val"]).alias("c"))
+            )
+            ranks = (
+                contribs.unionByName(base)
+                .groupBy("id")
+                .agg(F.sum("c").alias("val"))
+                .localCheckpoint(eager=True)  # superstep action
+            )
+            runner.commit(it, {}, metrics={"ms": (time.time() - t0) * 1000.0})
+
+    if not caller_prep:
+        w_edges.unpersist()
+    return ranks

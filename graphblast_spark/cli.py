@@ -75,7 +75,7 @@ def main(argv=None) -> int:
     p.add_argument("algorithm",
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
-                            "kcore", "closeness", "hits"])
+                            "kcore", "closeness", "hits", "bc", "ppr"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,val])")
     p.add_argument("--pages", help="pages-schema parquet (north-rule input)")
     p.add_argument("--fixture", help="named reference fixture graph")
@@ -95,7 +95,11 @@ def main(argv=None) -> int:
     p.add_argument("--palette", type=int, default=8,
                    help="gc-spec: initial speculative palette size")
     p.add_argument("--n-sources", type=int, default=16,
-                   help="closeness/diameter: sampled root count")
+                   help="closeness/diameter/bc: sampled root count")
+    p.add_argument("--seeds", type=str, default="0",
+                   help="ppr: comma-separated seed vertex ids")
+    p.add_argument("--max-depth", type=int, default=None,
+                   help="bc: bound the Brandes sweep depth")
     p.add_argument("--save-graph", help="persist the built graph to the "
                    "bucketed store under this name (build once, reload "
                    "shuffle-free in later jobs)")
@@ -166,6 +170,14 @@ def main(argv=None) -> int:
         out = A.closeness_centrality(g, n_sources=min(g.n, args.n_sources), desc=desc)
     elif args.algorithm == "hits":
         out = A.hits(g, fixed_iters=args.niter or 5, runner=runner)
+    elif args.algorithm == "bc":
+        out = A.betweenness_centrality(
+            g, n_sources=min(g.n, args.n_sources),
+            max_depth=args.max_depth, runner=runner)
+    elif args.algorithm == "ppr":
+        seeds = [int(x) for x in args.seeds.split(",") if x != ""]
+        out = A.personalized_pagerank(g, seeds, alpha=args.alpha,
+                                      fixed_iters=args.niter or 10, runner=runner)
     elif args.algorithm == "lgc":
         out = A.lgc(g, source=args.source, alpha=0.15, eps=1e-6,
                     desc=desc, runner=runner)

@@ -248,3 +248,66 @@ def diameter_oracle(n, edges, sources):
         if depth:
             best = max(best, max(depth.values()))
     return best
+
+
+def bc_oracle(n, edges, sources=None, max_depth=None, directed=False):
+    """Brandes betweenness (directed as given, or symmetrized) from the
+    given root set (None = all vertices), depth-bounded when max_depth
+    is set — mirrors algorithms/bc.py semantics."""
+    dedup = _sym_edges(n, edges, not directed)
+    adj = [[] for _ in range(n)]
+    for s, d in dedup:
+        adj[s].append(d)
+    if sources is None:
+        sources = range(n)
+    bc = np.zeros(n)
+    for src in sources:
+        depth = {src: 0}
+        sigma = {src: 1.0}
+        levels = [[src]]
+        while max_depth is None or len(levels) - 1 < max_depth:
+            nxt = {}
+            for v in levels[-1]:
+                for u in adj[v]:
+                    if u in depth and depth[u] <= len(levels) - 1:
+                        continue
+                    nxt[u] = nxt.get(u, 0.0) + sigma[v]
+            if not nxt:
+                break
+            for u, s_ in nxt.items():
+                depth[u] = len(levels)
+                sigma[u] = s_
+            levels.append(sorted(nxt))
+        delta = {v: 0.0 for v in depth}
+        for d in range(len(levels) - 2, -1, -1):
+            for v in levels[d]:
+                acc = 0.0
+                for u in adj[v]:
+                    if depth.get(u) == d + 1:
+                        acc += sigma[v] / sigma[u] * (1.0 + delta[u])
+                delta[v] = acc
+        for v, dl in delta.items():
+            if v != src:
+                bc[v] += dl
+    return bc
+
+
+def ppr_oracle(n, edges, seeds, alpha=0.85, iters=10):
+    """Personalized PageRank: teleport (1-α)/|S| on the seed set only,
+    init 1/|S| on seeds; no dangling redistribution (matches
+    algorithms/pagerank.py personalized_pagerank)."""
+    dedup = sorted({(s, d) for s, d, _ in edges if s != d})
+    outdeg = np.zeros(n)
+    for s, d in dedup:
+        outdeg[s] += 1
+    p = np.zeros(n)
+    base = np.zeros(n)
+    for s in seeds:
+        p[s] = 1.0 / len(seeds)
+        base[s] = (1 - alpha) / len(seeds)
+    for _ in range(iters):
+        new = base.copy()
+        for s, d in dedup:
+            new[d] += alpha * p[s] / outdeg[s]
+        p = new
+    return p

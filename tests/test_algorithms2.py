@@ -192,3 +192,70 @@ def test_k_core_nesting_property(spark):
     assert c4 <= c2
     assert c2, "chesapeake has a non-empty 2-core"
     g.unpersist()
+
+
+@pytest.mark.parametrize("name", ["test_bc", "test_cc", "chesapeake"])
+def test_betweenness_matches_brandes(spark, name):
+    from graphblast_spark.algorithms.bc import betweenness_centrality
+    from tests.oracles import bc_oracle
+
+    fx = FIXTURES[name]
+    n, edges = fx["n"], fx["edges"]
+    g = fixture_graph(spark, name)
+    got = betweenness_centrality(g, sources=list(range(n)))  # all roots = exact
+    vec = np.zeros(n)
+    for r in got.collect():
+        vec[r["id"]] = r["bc"]
+    expect = bc_oracle(n, edges, directed=not fx["symmetric"])
+    assert np.allclose(vec, expect, atol=1e-6), np.abs(vec - expect).max()
+
+
+def test_betweenness_depth_bound_and_sampled_roots(spark):
+    from graphblast_spark.algorithms.bc import betweenness_centrality
+    from tests.oracles import bc_oracle
+
+    fx = FIXTURES["chesapeake"]
+    n, edges = fx["n"], fx["edges"]
+    g = fixture_graph(spark, "chesapeake")
+    got = betweenness_centrality(g, sources=[0, 1, 2, 3], max_depth=2)
+    vec = np.zeros(n)
+    for r in got.collect():
+        vec[r["id"]] = r["bc"]
+    expect = bc_oracle(n, edges, sources=[0, 1, 2, 3], max_depth=2)
+    assert np.allclose(vec, expect, atol=1e-6), np.abs(vec - expect).max()
+
+
+def test_betweenness_path_graph_hand_check(spark):
+    # path 0-1-2-3 with explicit back-edges. Ordered-pair (directed)
+    # convention: vertex 1 lies on 0→2, 2→0, 0→3, 3→0 ⇒ bc = 4
+    # (halve for the undirected convention); endpoints 0.
+    from graphblast_spark.algorithms.bc import betweenness_centrality
+    from graphblast_spark.matrix import Graph
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        "src long, dst long, val double",
+    )
+    g = Graph.build(e, vertices=spark.range(4).select("id"))
+    got = {r["id"]: r["bc"] for r in betweenness_centrality(g, sources=[0, 1, 2, 3]).collect()}
+    assert got == {0: 0.0, 1: 4.0, 2: 4.0, 3: 0.0}
+
+
+@pytest.mark.parametrize("name", ["test_pr", "chesapeake"])
+def test_personalized_pagerank_allclose(spark, name):
+    from graphblast_spark.algorithms import personalized_pagerank
+    from tests.oracles import ppr_oracle
+
+    fx = FIXTURES[name]
+    n = fx["n"]
+    edges = fx["edges"] + ([(d, s, v) for s, d, v in fx["edges"]] if fx["symmetric"] else [])
+    g = fixture_graph(spark, name)
+    seeds = [0, 2]
+    got = personalized_pagerank(g, seeds, fixed_iters=10)
+    vec = np.zeros(n)
+    for r in got.collect():
+        vec[r["id"]] = r["val"]
+    expect = ppr_oracle(n, edges, seeds, iters=10)
+    assert np.allclose(vec, expect, atol=1e-6), np.abs(vec - expect).max()
+    # mass concentrated near seeds; non-seed-reachable stays teleport-free
+    assert vec[0] > 1.0 / n
