@@ -281,6 +281,22 @@ def q_g_extract_subvector(spark, sf_dir):
     )
 
 
+def q_g_extract_submatrix(spark, sf_dir):
+    from graphblast_spark.operators import extract_submatrix
+
+    g = copurchase_graph(spark, sf_dir)
+    rows = g.vertices.filter(F.col("id") % 5 == 0)
+    cols = g.vertices.filter(F.col("id") % 3 == 0)
+    return extract_submatrix(g, rows, cols).select("src", "dst", "val")
+
+
+def q_g_linkpred(spark, sf_dir):
+    from graphblast_spark.algorithms import link_prediction_scores
+
+    g = copurchase_graph(spark, sf_dir)
+    return link_prediction_scores(g)
+
+
 def q_g_count_unique(spark, sf_dir):
     from graphblast_spark.operators import count_unique
 
@@ -706,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_assign_masked": q_g_assign_masked,
         "g_scatter": q_g_scatter,
         "g_extract_subvector": q_g_extract_subvector,
+        "g_extract_submatrix": q_g_extract_submatrix,
+        "g_linkpred": q_g_linkpred,
         "g_count_unique": q_g_count_unique,
         "g_ewise_mult_mv": q_g_ewise_mult_mv,
         "g_reduce_vec_scalar": q_g_reduce_vec_scalar,
@@ -1434,6 +1452,32 @@ def oracle_sql() -> dict[str, str]:
         "g_count_unique": f"""
             WITH {_VERTICES}
             SELECT count(DISTINCT id % 100) AS n_unique FROM vertices""",
+        "g_extract_submatrix": f"""
+            WITH {_EDGES}
+            SELECT src, dst, CAST(1.0 AS DOUBLE) AS val
+            FROM edges WHERE src % 5 = 0 AND dst % 3 = 0""",
+        "g_linkpred": f"""
+            WITH {_EDGES},
+            low AS (SELECT src, dst FROM edges WHERE src < dst),
+            deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+            cn AS (
+              SELECT e.src, e.dst, n1.dst AS w
+              FROM low e
+              JOIN edges n1 ON n1.src = e.src
+              JOIN edges n2 ON n2.src = e.dst AND n2.dst = n1.dst
+            ),
+            agg AS (
+              SELECT cn.src, cn.dst, count(*) AS common,
+                     sum(1.0 / ln(dw.d)) AS aa
+              FROM cn JOIN deg dw ON dw.id = cn.w
+              GROUP BY cn.src, cn.dst
+            )
+            SELECT a.src, a.dst, a.common,
+                   round(CAST(a.common AS DOUBLE) / (da.d + db.d - a.common), 6) AS jaccard,
+                   round(a.aa, 6) AS adamic_adar
+            FROM agg a
+            JOIN deg da ON da.id = a.src
+            JOIN deg db ON db.id = a.dst""",
         "g_ewise_mult_mv": f"""
             WITH {_EDGES}
             SELECT src, dst,

@@ -14,6 +14,7 @@ from graphblast_spark.algorithms.gc import (
 )
 from graphblast_spark.algorithms.hits import hits
 from graphblast_spark.algorithms.kcore import k_core
+from graphblast_spark.algorithms.linkpred import link_prediction_scores
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
 
@@ -35,6 +36,7 @@ __all__ = [
     "graph_coloring_spec",
     "hits",
     "k_core",
+    "link_prediction_scores",
     "lgc",
     "closeness_centrality",
     "diameter",
