@@ -556,6 +556,22 @@ def q_g_diameter(spark, sf_dir):
     return visited.agg(F.max("depth").cast("long").alias("diameter"))
 
 
+def q_g_random_walks(spark, sf_dir):
+    from graphblast_spark.algorithms.walks import random_walks
+
+    g = copurchase_graph(spark, sf_dir)
+    return random_walks(g, n_roots=48, walk_length=6).select("walk_id", "step", "id")
+
+
+def q_g_nbr_sample(spark, sf_dir):
+    from graphblast_spark.algorithms.walks import neighborhood_sample
+
+    g = copurchase_graph(spark, sf_dir)
+    return neighborhood_sample(g, n_roots=32, fanouts=(3, 2)).select(
+        "root", "layer", "id"
+    )
+
+
 def q_g_bfs(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     src = _min_part(spark, sf_dir)
@@ -728,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ewise_mult_mv": q_g_ewise_mult_mv,
         "g_reduce_vec_scalar": q_g_reduce_vec_scalar,
         "g_lgc": q_g_lgc,
+        "g_random_walks": q_g_random_walks,
+        "g_nbr_sample": q_g_nbr_sample,
         "g_msbfs": q_g_msbfs,
         "g_diameter": q_g_diameter,
         "g_closeness": q_g_closeness,
@@ -1494,6 +1512,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE e1.src % 50 = 0
             GROUP BY e1.src, e2.dst""",
         "g_lgc": _sql_lgc(4),
+        # replay of walks.py's pure-hash step rule: from v at step t, walk w
+        # moves to the (hash mod deg)-th neighbor in sorted-dst order.
+        "g_random_walks": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            ranked AS (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                     count(*) OVER (PARTITION BY src) AS deg
+              FROM edges
+            ),
+            roots AS (SELECT id FROM vertices ORDER BY id LIMIT 48),
+            w(walk_id, step, id) AS (
+              SELECT id, CAST(0 AS BIGINT), id FROM roots
+              UNION ALL
+              SELECT w.walk_id, w.step + 1, r.dst
+              FROM w JOIN ranked r ON r.src = w.id
+               AND r.idx = ((w.walk_id * 1000003 + w.step * 10007 + w.id * 31) % 999983) % r.deg
+              WHERE w.step < 6
+            )
+            SELECT walk_id, step, id FROM w""",
+        # layered fanout sample: rank neighbors by the (src,dst) hash with
+        # dst tiebreak, take the top fanouts[t] per layer-t vertex, dedup
+        # per (root, layer).
+        "g_nbr_sample": f"""
+            WITH {_EDGES}, {_VERTICES},
+            ranked AS (
+              SELECT src, dst, row_number() OVER (
+                PARTITION BY src
+                ORDER BY (src * 1000003 + dst * 10007) % 999983, dst) AS rk
+              FROM edges
+            ),
+            roots AS (SELECT id FROM vertices ORDER BY id LIMIT 32),
+            l0 AS (SELECT id AS root, id FROM roots),
+            l1 AS (SELECT DISTINCT l0.root, r.dst AS id
+                   FROM l0 JOIN ranked r ON r.src = l0.id AND r.rk <= 3),
+            l2 AS (SELECT DISTINCT l1.root, r.dst AS id
+                   FROM l1 JOIN ranked r ON r.src = l1.id AND r.rk <= 2)
+            SELECT root, CAST(0 AS BIGINT) AS layer, id FROM l0
+            UNION ALL SELECT root, CAST(1 AS BIGINT), id FROM l1
+            UNION ALL SELECT root, CAST(2 AS BIGINT), id FROM l2""",
         "g_msbfs": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},{_SQL_MSBFS_BODY}
             SELECT root, id, depth FROM lv""",

@@ -17,6 +17,7 @@ from graphblast_spark.algorithms.kcore import k_core
 from graphblast_spark.algorithms.linkpred import link_prediction_scores
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
+from graphblast_spark.algorithms.walks import neighborhood_sample, random_walks
 
 __all__ = [
     "pagerank",
@@ -41,4 +42,6 @@ __all__ = [
     "closeness_centrality",
     "diameter",
     "multi_source_bfs",
+    "neighborhood_sample",
+    "random_walks",
 ]

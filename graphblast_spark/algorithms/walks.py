@@ -1,0 +1,166 @@
+"""Deterministic random walks + layered neighborhood sampling.
+
+Beyond-reference additions (gunrock/graphblast ships no walk sampler;
+the nearest primitive is the frontier-expansion vxm its BFS is built
+from, graphblas/algorithm/bfs.hpp:14-89). Walk-based sampling is the
+workhorse for link-graph representation learning (DeepWalk/node2vec
+corpus generation) and GraphSAGE-style minibatch assembly — the
+training-data-pipeline side of a web-scale graph engine.
+
+Determinism contract: every random choice is a pure integer-hash
+function of (walk_id, step, vertex) / (src, dst), so the exact same
+walks fall out on any cluster size, any partitioning, and in the
+DuckDB oracle (the driver replays these walks in recursive SQL).
+Production callers wanting stronger mixing can swap ``_hstep`` for
+``F.xxhash64`` — every other line is unchanged; the portable
+linear-congruential form exists so the result is ANSI-SQL-replayable.
+
+Plan shape / scale notes:
+- Adjacency is aggregated ONCE into sorted neighbor arrays
+  (src, nbrs, deg) and persisted: each walk step is then a single
+  equi-join frontier⋈adj on the current vertex plus an O(1)
+  ``element_at`` pick — no per-step window, no wedge fan-out.
+- The frontier shuffles on the current-vertex key each step (same
+  volume as one BFS level over the walk set, |walks| rows, NOT |E|).
+- Hub neighbor arrays are one row per vertex (same layout the
+  triangle counter uses, tc.py): at 10^12-edge scale cap arrays via
+  ``max_degree`` — walks through a capped hub sample its first
+  ``max_degree`` sorted neighbors, documented truncation.
+- Walk length L = L superstep joins; lineage is truncated every
+  ``ckpt_every`` steps with an eager localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphblast_spark.matrix import Graph
+
+# SQL-portable step hash: pmod(walk*1000003 + step*10007 + id*31, 999983).
+# Multipliers keep every product < 2^63 for ids up to 10^12 (Spark 4
+# ANSI mode THROWS on int64 overflow rather than wrapping).
+_A_WALK, _A_STEP, _A_ID, _MOD = 1_000_003, 10_007, 31, 999_983
+
+
+def _hstep(walk_id, step, vid):
+    return F.pmod(
+        walk_id * F.lit(_A_WALK) + F.lit(step) * F.lit(_A_STEP) + vid * F.lit(_A_ID),
+        F.lit(_MOD),
+    )
+
+
+def adjacency_arrays(g: Graph, max_degree: int | None = None) -> DataFrame:
+    """(src, nbrs array<long> sorted asc, deg int) — one aggregation of
+    the persisted edge table; neighbor order is the deterministic dst
+    order the oracle's ``row_number() OVER (ORDER BY dst)`` replays.
+    ``max_degree`` truncates hub arrays (keeps the deg-smallest
+    neighbors) for bounded row width at web scale."""
+    adj = g.edges.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    if max_degree is not None:
+        adj = adj.withColumn("nbrs", F.slice("nbrs", 1, max_degree))
+    return adj.withColumn("deg", F.size("nbrs"))
+
+
+def random_walks(
+    g: Graph,
+    roots: DataFrame | None = None,
+    n_roots: int = 64,
+    walk_length: int = 8,
+    walks_per_root: int = 1,
+    max_degree: int | None = None,
+    ckpt_every: int = 4,
+) -> DataFrame:
+    """(walk_id long, step long, id long): position of each walk after
+    each step; step 0 is the root itself. A walk stops early at a
+    dead-end vertex (no out-edges → no further rows, sparse result).
+
+    Step rule: from vertex v at step t, walk w moves to
+    ``nbrs(v)[ hash(w, t, v) mod deg(v) ]`` — pure function of the
+    triple, so identical on every cluster size and in the SQL oracle.
+
+    ``walks_per_root`` starts k walks per root with
+    walk_id = root_id * k + j (j in [0, k)); the default k=1 keeps
+    walk_id == root_id.
+    """
+    if roots is None:
+        roots = g.vertices.orderBy("id").limit(n_roots)
+    k = walks_per_root
+    start = roots.select(F.col("id"))
+    if k == 1:
+        frontier = start.select(F.col("id").alias("walk_id"), F.col("id"))
+    else:
+        frontier = start.join(
+            start.sparkSession.range(k).select(F.col("id").alias("j")), how="cross"
+        ).select((F.col("id") * k + F.col("j")).alias("walk_id"), F.col("id"))
+
+    adj = adjacency_arrays(g, max_degree=max_degree).persist()
+    out = frontier.withColumn("step", F.lit(0).cast("long"))
+    rows = [out]
+    for t in range(walk_length):
+        idx = F.pmod(_hstep(F.col("walk_id"), t, F.col("id")), F.col("deg"))
+        frontier = (
+            frontier.join(adj, on=frontier["id"] == adj["src"], how="inner")
+            .select(
+                "walk_id",
+                F.element_at("nbrs", (idx + 1).cast("int")).alias("id"),
+            )
+        )
+        if (t + 1) % ckpt_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        rows.append(frontier.withColumn("step", F.lit(t + 1).cast("long")))
+    result = rows[0]
+    for r in rows[1:]:
+        result = result.unionByName(r)
+    adj.unpersist()
+    return result.select("walk_id", "step", "id")
+
+
+def neighborhood_sample(
+    g: Graph,
+    roots: DataFrame | None = None,
+    n_roots: int = 64,
+    fanouts: tuple[int, ...] = (3, 2),
+) -> DataFrame:
+    """GraphSAGE-style layered fan-out sample: (root long, layer long,
+    id long), layer 0 = the root itself, layer t+1 = for every layer-t
+    vertex its ``fanouts[t]`` hash-ranked neighbors, deduped per
+    (root, layer). Rank is a pure (src, dst) hash with dst tiebreak, so
+    the sampled adjacency is computed ONCE (one window partitioned by
+    src — partition-local, no global sort) and every layer reuses it
+    filtered to its fanout.
+
+    At 10^12 edges the ranked adjacency is the only heavy structure:
+    one |E| shuffle, reused by all layers; the per-layer joins carry
+    only the expanding frontier (Π fanouts rows per root)."""
+    from pyspark.sql.window import Window
+
+    if roots is None:
+        roots = g.vertices.orderBy("id").limit(n_roots)
+    kmax = max(fanouts)
+    h = F.pmod(F.col("src") * F.lit(_A_WALK) + F.col("dst") * F.lit(_A_STEP), F.lit(_MOD))
+    w = Window.partitionBy("src").orderBy(h, F.col("dst"))
+    adj = (
+        g.edges.select("src", "dst")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= kmax)
+        .persist()
+    )
+
+    frontier = roots.select(F.col("id").alias("root"), F.col("id"))
+    out = [frontier.withColumn("layer", F.lit(0).cast("long"))]
+    for t, k in enumerate(fanouts):
+        a = adj.filter(F.col("rk") <= k) if k < kmax else adj
+        frontier = (
+            frontier.join(a, on=frontier["id"] == a["src"], how="inner")
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+        )
+        out.append(frontier.withColumn("layer", F.lit(t + 1).cast("long")))
+    result = out[0]
+    for r in out[1:]:
+        result = result.unionByName(r)
+    adj.unpersist()
+    return result.select("root", "layer", "id")

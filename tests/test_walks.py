@@ -1,0 +1,137 @@
+"""Deterministic random walks + layered neighborhood sampling.
+
+The reference ships no walk sampler (nearest primitive is the BFS
+frontier vxm, graphblas/algorithm/bfs.hpp:14-89); these are the
+training-data-pipeline additions for link-graph representation
+learning. Verification style: replay the pure-hash step rule in
+numpy and demand byte-identical walks, then structural checks
+(every hop is an edge, layers respect fanouts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphblast_spark.algorithms.walks import (
+    _A_ID,
+    _A_STEP,
+    _A_WALK,
+    _MOD,
+    adjacency_arrays,
+    neighborhood_sample,
+    random_walks,
+)
+from graphblast_spark.sources.fixtures import FIXTURES
+from graphblast_spark.sources.mtx import fixture_graph
+
+
+def _sym_edges(name):
+    fx = FIXTURES[name]
+    edges = [(s, d) for s, d, _ in fx["edges"]]
+    if fx["symmetric"]:
+        edges = edges + [(d, s) for s, d in edges]
+    return fx["n"], sorted(set((s, d) for s, d in edges if s != d))
+
+
+def _walk_oracle(n, edges, roots, length):
+    """numpy replay of the documented step rule."""
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+    for s in nbrs:
+        nbrs[s] = sorted(nbrs[s])
+    out = []
+    for r in roots:
+        v = r
+        out.append((r, 0, r))
+        for t in range(length):
+            ns = nbrs.get(v)
+            if not ns:
+                break
+            h = (r * _A_WALK + t * _A_STEP + v * _A_ID) % _MOD
+            v = ns[h % len(ns)]
+            out.append((r, t + 1, v))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", ["test_pr", "chesapeake", "test_cc"])
+def test_random_walks_match_numpy_replay(spark, name):
+    n, edges = _sym_edges(name)
+    g = fixture_graph(spark, name)
+    roots = list(range(min(n, 16)))
+    got = sorted(
+        (r["walk_id"], r["step"], r["id"])
+        for r in random_walks(g, n_roots=len(roots), walk_length=5).collect()
+    )
+    assert got == _walk_oracle(n, edges, roots, 5)
+
+
+def test_random_walks_every_hop_is_an_edge(spark):
+    name = "chesapeake"
+    n, edges = _sym_edges(name)
+    eset = set(edges)
+    g = fixture_graph(spark, name)
+    walks = random_walks(g, n_roots=8, walk_length=6, walks_per_root=2).collect()
+    by_walk = {}
+    for r in walks:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["id"]
+    assert len(by_walk) == 16  # 8 roots x 2 walks
+    for wid, steps in by_walk.items():
+        assert steps[0] == wid // 2  # walk_id = root*k + j
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in eset
+        # contiguous steps (walk only stops at a dead end, then stays stopped)
+        assert sorted(steps) == list(range(max(steps) + 1))
+
+
+def test_random_walks_max_degree_truncation(spark):
+    g = fixture_graph(spark, "chesapeake")
+    adj = adjacency_arrays(g, max_degree=3)
+    rows = adj.collect()
+    assert all(len(r["nbrs"]) <= 3 for r in rows)
+    assert all(r["deg"] == len(r["nbrs"]) for r in rows)
+    full = {r["src"]: r["nbrs"] for r in adjacency_arrays(g).collect()}
+    for r in rows:
+        assert r["nbrs"] == full[r["src"]][:3]  # keeps the smallest-dst prefix
+
+
+def test_neighborhood_sample_layers_and_fanouts(spark):
+    name = "chesapeake"
+    n, edges = _sym_edges(name)
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    g = fixture_graph(spark, name)
+    fanouts = (3, 2)
+    rows = neighborhood_sample(g, n_roots=6, fanouts=fanouts).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["root"], r["layer"]), set()).add(r["id"])
+    for root in range(6):
+        assert by[(root, 0)] == {root}
+        prev = {root}
+        for t, k in enumerate(fanouts):
+            layer = by.get((root, t + 1), set())
+            # every sampled vertex is a true neighbor of some prev-layer vertex
+            for v in layer:
+                assert any(v in nbrs.get(u, set()) for u in prev)
+            # fanout bound: at most k children per parent
+            assert len(layer) <= k * len(prev)
+            prev = layer
+
+
+def test_neighborhood_sample_deterministic_across_runs(spark):
+    g = fixture_graph(spark, "test_pr")
+    a = sorted(map(tuple, neighborhood_sample(g, n_roots=4).collect()))
+    b = sorted(map(tuple, neighborhood_sample(g, n_roots=4).collect()))
+    assert a == b
+
+
+def test_random_walks_explicit_roots_df(spark):
+    g = fixture_graph(spark, "test_pr")
+    roots = g.vertices.filter(F.col("id") < 3)
+    walks = random_walks(g, roots=roots, walk_length=4).collect()
+    assert {r["walk_id"] for r in walks} <= {0, 1, 2}
+    assert {r["id"] for r in walks if r["step"] == 0} <= {0, 1, 2}
