@@ -614,6 +614,31 @@ def q_d_fingerprint(spark, sf_dir):
     return add_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5", "fp_rolling")
 
 
+def q_d_repetition(spark, sf_dir):
+    from graphblast_spark.functions.text import add_repetition_signals
+
+    # the synthetic docs are single-line; splice deterministic line
+    # breaks (literal replace of two frequent words — identical
+    # non-overlapping left-to-right semantics in Spark and DuckDB) so
+    # the duplicate-line signals are non-trivial
+    txt = F.col("text")
+    for w in (" table ", " value ", " query ", " a "):
+        txt = F.replace(txt, F.lit(w), F.lit("\n"))
+    docs = _docs(spark, sf_dir).withColumn("text", txt)
+    return add_repetition_signals(docs).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "dup_2gram_frac", "dup_3gram_frac",
+    )
+
+
+def q_d_top_ngram(spark, sf_dir):
+    from graphblast_spark.functions.text import top_ngram_char_frac
+
+    return top_ngram_char_frac(_docs(spark, sf_dir), n=2).select(
+        "doc_id", "top_ngram", "top_ngram_char_frac"
+    )
+
+
 def q_d_exact_dedup(spark, sf_dir):
     return exact_duplicate_groups(_docs(spark, sf_dir)).select(
         "fp_md5", "n_dups", "canonical_id"
@@ -757,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
         "d_fingerprint": q_d_fingerprint,
+        "d_repetition": q_d_repetition,
+        "d_top_ngram": q_d_top_ngram,
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_lsh": q_d_minhash_lsh,
         "d_jaccard": q_d_jaccard,
@@ -1595,6 +1622,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT sh.doc_id AS doc_id, md5(d.text) AS fp_md5,
                    list_min(list_transform(sh.s, x -> md5(x))) AS fp_rolling
             FROM sh JOIN documents d ON d.doc_id = sh.doc_id""",
+        # replay of add_repetition_signals over the same line-break
+        # splice: sorted-line neighbor flags for dup lines, n-gram
+        # distinct/total ratios for dup grams (text.py:108-170)
+        "d_repetition": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(text,
+                       ' table ', chr(10)), ' value ', chr(10)),
+                       ' query ', chr(10)), ' a ', chr(10)) AS text
+              FROM documents
+            ),
+            ls AS (
+              SELECT doc_id,
+                     list_sort(list_filter(string_split(text, chr(10)), x -> x <> '')) AS l,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+              FROM base
+            ),
+            fl AS (
+              SELECT doc_id, l, t,
+                     list_filter(
+                       list_transform(generate_series(1, len(l)),
+                         i -> CASE WHEN (i > 1 AND l[i] = l[i-1])
+                                     OR (i < len(l) AND l[i] = l[i+1])
+                              THEN l[i] END),
+                       x -> x IS NOT NULL) AS dl
+              FROM ls
+            ),
+            gr AS (
+              SELECT doc_id, l, dl,
+                     CASE WHEN len(t) >= 2 THEN list_transform(
+                       generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END AS g2,
+                     CASE WHEN len(t) >= 3 THEN list_transform(
+                       generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END AS g3
+              FROM fl
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(l) > 0
+                         THEN len(dl) / CAST(len(l) AS DOUBLE) ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN list_sum(list_transform(l, x -> length(x))) > 0
+                         THEN coalesce(list_sum(list_transform(dl, x -> length(x))), 0)
+                              / CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_line_char_frac,
+                   round(CASE WHEN len(g2) > 0
+                         THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_2gram_frac,
+                   round(CASE WHEN len(g3) > 0
+                         THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_3gram_frac
+            FROM gr""",
+        # replay of top_ngram_char_frac: count per (doc, bigram), rank
+        # by count desc / gram asc, keep the winner (text.py:173-210)
+        "d_top_ngram": f"""
+            WITH {_TOKS},
+            g AS (
+              SELECT toks.doc_id AS doc_id, length(d.text) AS n_chars,
+                     unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+                       generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS gram
+              FROM toks JOIN documents d ON d.doc_id = toks.doc_id
+            ),
+            c AS (SELECT doc_id, n_chars, gram, count(*) AS c FROM g GROUP BY ALL),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c)
+            SELECT doc_id, gram AS top_ngram,
+                   round(CASE WHEN n_chars > 0
+                         THEN c * length(gram) / CAST(n_chars AS DOUBLE)
+                         ELSE 0.0 END, 6) AS top_ngram_char_frac
+            FROM r WHERE rn = 1""",
         "d_exact_dedup": """
             SELECT md5(text) AS fp_md5, count(*) AS n_dups, min(doc_id) AS canonical_id
             FROM documents GROUP BY md5(text) HAVING count(*) >= 2""",

@@ -104,3 +104,113 @@ def add_fingerprint(df: DataFrame, text_col: str = "text", shingle_words: int = 
     return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
         "fp_rolling", F.array_min(shingles)
     )
+
+
+def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    all as pure array expressions — no shuffle, no UDF:
+
+    - ``dup_line_frac``      fraction of lines occurring more than once
+    - ``dup_line_char_frac`` fraction of line characters in such lines
+    - ``dup_2gram_frac``     1 − distinct/total word-bigram occurrences
+    - ``dup_3gram_frac``     same for trigrams
+
+    Duplicate-line detection sorts the line array once and flags
+    neighbors (O(L log L) per doc, not the naive O(L²) nested scan — a
+    100 TB corpus has docs with 10⁴+ lines). Single-line docs score 0.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: x != "")
+    ls = F.array_sort(lines)
+    n = F.size(ls)
+    # flags[i] = line equals its sorted predecessor or successor
+    idx = F.sequence(F.lit(1), n)
+    dup_flags = F.transform(
+        idx,
+        lambda i: F.when(
+            ((i > 1) & (F.element_at(ls, i) == F.element_at(ls, i - 1)))
+            | ((i < n) & (F.element_at(ls, i) == F.element_at(ls, i + 1))),
+            F.element_at(ls, i),
+        ),
+    )
+    dup_lines = F.filter(dup_flags, lambda x: x.isNotNull())
+    total_chars = F.aggregate(ls, F.lit(0), lambda acc, x: acc + F.length(x))
+    dup_chars = F.aggregate(dup_lines, F.lit(0), lambda acc, x: acc + F.length(x))
+
+    def _dup_ngram_frac(k):
+        toks = tokens(t)
+        m = F.size(toks)
+        grams = F.when(
+            m >= k,
+            F.transform(
+                F.sequence(F.lit(1), m - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn(
+            "dup_line_frac",
+            F.round(
+                F.when(n > 0, F.size(dup_lines) / n.cast("double")).otherwise(F.lit(0.0)), 6
+            ),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            F.round(
+                F.when(total_chars > 0, dup_chars / total_chars.cast("double")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn("dup_2gram_frac", F.round(_dup_ngram_frac(2), 6))
+        .withColumn("dup_3gram_frac", F.round(_dup_ngram_frac(3), 6))
+    )
+
+
+def top_ngram_char_frac(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """(doc_id, top_ngram, top_ngram_char_frac): fraction of the doc's
+    characters covered by occurrences of its single most common word
+    n-gram (the other Gopher §A1.1 family).
+
+    The per-doc mode needs a real aggregation: explode n-grams, count per
+    (doc_id, gram), then a struct-min per doc — two map-side-combining
+    shuffles keyed by doc id (no window, no skew: key cardinality is
+    docs × grams). Ties break to the lexicographically-smallest gram.
+    Docs with fewer than ``n`` tokens have no n-grams and are absent
+    from the output.
+    """
+    toks = tokens(F.col(text_col))
+    m = F.size(toks)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select("doc_id", F.length(text_col).alias("n_chars"), F.explode(grams).alias("gram"))
+    counts = exploded.groupBy("doc_id", "n_chars", "gram").agg(F.count("*").alias("c"))
+    # min over the (-count, gram) struct = highest count, then the
+    # lexicographically smallest gram on ties — one map-side-combining
+    # agg, no window sort over the full gram table.
+    best = counts.groupBy("doc_id", "n_chars").agg(
+        F.min(F.struct((-F.col("c")).alias("negc"), F.col("gram"))).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.gram").alias("top_ngram"),
+        F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                (-F.col("b.negc")) * F.length("b.gram") / F.col("n_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_ngram_char_frac"),
+    )
