@@ -639,6 +639,34 @@ def q_d_top_ngram(spark, sf_dir):
     )
 
 
+def q_d_hash_split(spark, sf_dir):
+    from graphblast_spark.functions.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_d_stratified(spark, sf_dir):
+    from graphblast_spark.functions.sampling import stratified_sample
+
+    # uneven per-source rates; sources outside the dict are dropped
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        fractions={"src0": 1.0, "src1": 0.5, "src5": 0.2},
+    ).select("doc_id", "source")
+
+
+def q_d_contamination(spark, sf_dir):
+    from graphblast_spark.functions.sampling import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    # deterministic stand-in benchmark: every 97th doc (n=4 because the
+    # synthetic vocab is tiny — real pipelines use 8-13 word grams)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(
+        docs.where(F.col("doc_id") % 97 != 0), eval_docs, n=4
+    ).select("doc_id", "n_grams", "n_contaminated", "contaminated_frac")
+
+
 def q_d_exact_dedup(spark, sf_dir):
     return exact_duplicate_groups(_docs(spark, sf_dir)).select(
         "fp_md5", "n_dups", "canonical_id"
@@ -784,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_fingerprint": q_d_fingerprint,
         "d_repetition": q_d_repetition,
         "d_top_ngram": q_d_top_ngram,
+        "d_hash_split": q_d_hash_split,
+        "d_stratified": q_d_stratified,
+        "d_contamination": q_d_contamination,
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_lsh": q_d_minhash_lsh,
         "d_jaccard": q_d_jaccard,
@@ -1622,6 +1653,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT sh.doc_id AS doc_id, md5(d.text) AS fp_md5,
                    list_min(list_transform(sh.s, x -> md5(x))) AS fp_rolling
             FROM sh JOIN documents d ON d.doc_id = sh.doc_id""",
+        # replay of sampling.py hash_bucket: first 8 md5 hex chars of
+        # the key string → int, mod 1e6, cumulative split thresholds
+        "d_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 1000000 < 900000 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 1000000 < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        "d_stratified": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 1000000 AS bkt
+              FROM documents
+            )
+            SELECT doc_id, source FROM b
+            WHERE (source = 'src0' AND bkt < 1000000)
+               OR (source = 'src1' AND bkt < 500000)
+               OR (source = 'src5' AND bkt < 200000)""",
+        # replay of ngram_contamination(n=4): corpus 4-grams left-semi
+        # joined to the distinct 4-grams of the doc_id%97=0 eval slice
+        "d_contamination": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            eg AS (
+              SELECT DISTINCT unnest(CASE WHEN len(t) >= 4 THEN list_transform(
+                generate_series(1, len(t)-3), i -> array_to_string(t[i:i+3], ' '))
+              ELSE [] END) AS gram
+              FROM toks WHERE doc_id % 97 = 0
+            ),
+            dg AS (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 4 THEN list_transform(
+                generate_series(1, len(t)-3), i -> array_to_string(t[i:i+3], ' '))
+              ELSE [NULL] END) AS gram
+              FROM toks WHERE doc_id % 97 <> 0
+            ),
+            hits AS (
+              SELECT d.doc_id, count(*) AS n_contaminated
+              FROM dg d JOIN eg e ON d.gram = e.gram GROUP BY d.doc_id
+            ),
+            per AS (SELECT doc_id, count(gram) AS n_grams FROM dg GROUP BY doc_id)
+            SELECT p.doc_id, p.n_grams,
+                   coalesce(h.n_contaminated, 0) AS n_contaminated,
+                   round(CASE WHEN p.n_grams > 0
+                         THEN coalesce(h.n_contaminated, 0) / CAST(p.n_grams AS DOUBLE)
+                         ELSE 0.0 END, 6) AS contaminated_frac
+            FROM per p LEFT JOIN hits h ON p.doc_id = h.doc_id""",
         # replay of add_repetition_signals over the same line-break
         # splice: sorted-line neighbor flags for dup lines, n-gram
         # distinct/total ratios for dup grams (text.py:108-170)

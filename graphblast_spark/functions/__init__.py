@@ -2,7 +2,9 @@ from graphblast_spark.functions.text import (
     add_fingerprint,
     add_lang_id,
     add_quality,
+    add_repetition_signals,
     add_token_count,
+    top_ngram_char_frac,
 )
 from graphblast_spark.functions.dedup import (
     exact_duplicate_groups,
@@ -11,11 +13,18 @@ from graphblast_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from graphblast_spark.functions.sampling import (
+    hash_split,
+    ngram_contamination,
+    stratified_sample,
+)
 from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
 
 __all__ = [
     "add_fingerprint", "add_lang_id", "add_quality", "add_token_count",
+    "add_repetition_signals", "top_ngram_char_frac",
     "exact_duplicate_groups", "lsh_candidate_pairs", "minhash_signature",
     "ngram_jaccard_pairs", "simhash64",
+    "hash_split", "ngram_contamination", "stratified_sample",
     "brute_force_topk", "ivf_topk",
 ]
