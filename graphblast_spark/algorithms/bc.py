@@ -67,9 +67,13 @@ def betweenness_centrality(
     if sources is None:
         roots = g.vertices.select("id").orderBy("id").limit(n_sources)
     elif isinstance(sources, DataFrame):
-        roots = sources.select("id")
+        # dedup: a repeated root would seed duplicate (root, id) level-0
+        # rows, doubling sigma and double-counting that root's deltas
+        roots = sources.select("id").distinct()
     else:
-        roots = spark.createDataFrame([(int(s),) for s in sources], "id long")
+        roots = spark.createDataFrame(
+            [(int(s),) for s in sorted(set(int(s) for s in sources))], "id long"
+        )
 
     # -- forward: per-level frontiers (root, id, sigma) -----------------
     level0 = roots.select(

@@ -54,8 +54,12 @@ def k_core(
     def init():
         return {"remaining": g.vertices.select("id")}
 
-    state, start_iter, _ = runner.resume_or_init(init)
+    state, start_iter, scalars = runner.resume_or_init(init)
     remaining = state["remaining"]
+    # previous round's survivor count, carried across iterations (and
+    # through checkpoint resume) so each peel round costs exactly ONE
+    # action — the survivors count — instead of recounting `remaining`
+    n_prev = int(scalars["n"]) if "n" in scalars else None
 
     max_rounds = fixed_rounds if fixed_rounds is not None else desc.max_niter
     with stable_partitions(spark):
@@ -73,7 +77,8 @@ def k_core(
                 .select("id")
                 .localCheckpoint(eager=True)
             )
-            n_prev = remaining.count()
+            if n_prev is None:
+                n_prev = remaining.count()  # first round only
             n_now = survivors.count()
             remaining = survivors
             state = runner.truncate({"remaining": remaining})
@@ -84,6 +89,7 @@ def k_core(
             )
             if n_now == n_prev or n_now == 0:
                 break
+            n_prev = n_now
 
     out = g.vertices.join(
         remaining.withColumn("in_core", F.lit(1)), on="id", how="left"

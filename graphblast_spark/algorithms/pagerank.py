@@ -164,10 +164,20 @@ def personalized_pagerank(
     spark = g.edges.sparkSession
     if isinstance(seeds, list):
         seeds = spark.createDataFrame([(int(s),) for s in seeds], "id long")
-    seeds = seeds.select("id")
+    # Sanitize the seed set: duplicates would double that seed's teleport
+    # mass (the init left-join fans out), and ids outside the vertex
+    # domain would inflate n_seeds while contributing nothing — silently
+    # scaling every score down. Dedup, then insist every seed is a vertex.
+    seeds = seeds.select("id").distinct().localCheckpoint(eager=True)
     n_seeds = seeds.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    n_valid = seeds.join(g.vertices, on="id", how="left_semi").count()
+    if n_valid != n_seeds:
+        raise ValueError(
+            f"personalized_pagerank: {n_seeds - n_valid} seed id(s) are not "
+            "vertices of the graph — teleport mass would silently vanish"
+        )
 
     caller_prep = w_edges is not None
     if w_edges is None:

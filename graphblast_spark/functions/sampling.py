@@ -41,6 +41,12 @@ def hash_split(
     'test' by default) by cumulative bucket thresholds — a narrow
     projection, zero shuffle, stable under repartitioning and appends."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"hash_split weights must sum to 1.0 (got {total}): the last "
+            "label would silently absorb the unassigned bucket mass"
+        )
     b = hash_bucket(F.col(key_col))
     expr = None
     acc = 0.0

@@ -259,3 +259,32 @@ def test_personalized_pagerank_allclose(spark, name):
     assert np.allclose(vec, expect, atol=1e-6), np.abs(vec - expect).max()
     # mass concentrated near seeds; non-seed-reachable stays teleport-free
     assert vec[0] > 1.0 / n
+
+
+def test_ppr_seed_sanitization(spark):
+    """Duplicate seeds must not double-count teleport mass; seeds outside
+    the vertex domain must raise instead of silently skewing scores."""
+    from graphblast_spark.algorithms import personalized_pagerank
+
+    g = fixture_graph(spark, "test_pr")
+    clean = {r["id"]: r["val"] for r in personalized_pagerank(g, [0, 2], fixed_iters=5).collect()}
+    duped = {r["id"]: r["val"] for r in personalized_pagerank(g, [0, 0, 2], fixed_iters=5).collect()}
+    assert clean == pytest.approx(duped, abs=1e-12)
+    with pytest.raises(ValueError, match="not.*vertices"):
+        personalized_pagerank(g, [0, 10**9], fixed_iters=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(g, [], fixed_iters=1)
+    g.unpersist()
+
+
+def test_betweenness_duplicate_roots_deduped(spark):
+    from graphblast_spark.algorithms.bc import betweenness_centrality
+
+    g = fixture_graph(spark, "test_bc")
+    clean = {r["id"]: r["bc"] for r in betweenness_centrality(g, sources=[0, 1]).collect()}
+    duped = {r["id"]: r["bc"] for r in betweenness_centrality(g, sources=[0, 0, 1, 1]).collect()}
+    assert clean == pytest.approx(duped, abs=1e-12)
+    df_duped = spark.createDataFrame([(0,), (0,), (1,)], "id long")
+    via_df = {r["id"]: r["bc"] for r in betweenness_centrality(g, sources=df_duped).collect()}
+    assert clean == pytest.approx(via_df, abs=1e-12)
+    g.unpersist()

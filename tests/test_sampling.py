@@ -63,3 +63,9 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     plan = ngram_contamination(docs, ev, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, weights={"train": 0.5, "val": 0.2})
