@@ -627,7 +627,7 @@ def q_d_repetition(spark, sf_dir):
     docs = _docs(spark, sf_dir).withColumn("text", txt)
     return add_repetition_signals(docs).select(
         "doc_id", "dup_line_frac", "dup_line_char_frac",
-        "dup_2gram_frac", "dup_3gram_frac",
+        "dup_2gram_frac", "dup_3gram_frac", "dup_4gram_frac",
     )
 
 
@@ -1705,8 +1705,10 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS contaminated_frac
             FROM per p LEFT JOIN hits h ON p.doc_id = h.doc_id""",
         # replay of add_repetition_signals over the same line-break
-        # splice: sorted-line neighbor flags for dup lines, n-gram
-        # distinct/total ratios for dup grams (text.py:108-170)
+        # splice: sorted-array neighbor flags for dup lines AND dup
+        # grams; gram fractions are CHARACTER-weighted (chars in
+        # occurrences of repeated gram values / chars in all gram
+        # occurrences — text.py add_repetition_signals)
         "d_repetition": r"""
             WITH base AS (
               SELECT doc_id,
@@ -1733,13 +1735,33 @@ def oracle_sql() -> dict[str, str]:
             ),
             gr AS (
               SELECT doc_id, l, dl,
-                     CASE WHEN len(t) >= 2 THEN list_transform(
+                     list_sort(CASE WHEN len(t) >= 2 THEN list_transform(
                        generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
-                     ELSE [] END AS g2,
-                     CASE WHEN len(t) >= 3 THEN list_transform(
+                     ELSE [] END) AS g2,
+                     list_sort(CASE WHEN len(t) >= 3 THEN list_transform(
                        generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                     ELSE [] END AS g3
+                     ELSE [] END) AS g3,
+                     list_sort(CASE WHEN len(t) >= 4 THEN list_transform(
+                       generate_series(1, len(t)-3),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                     ELSE [] END) AS g4
               FROM fl
+            ),
+            du AS (
+              SELECT doc_id, l, dl,
+                     list_filter(list_transform(generate_series(1, len(g2)),
+                       i -> CASE WHEN (i > 1 AND g2[i] = g2[i-1])
+                                   OR (i < len(g2) AND g2[i] = g2[i+1])
+                            THEN g2[i] END), x -> x IS NOT NULL) AS d2, g2,
+                     list_filter(list_transform(generate_series(1, len(g3)),
+                       i -> CASE WHEN (i > 1 AND g3[i] = g3[i-1])
+                                   OR (i < len(g3) AND g3[i] = g3[i+1])
+                            THEN g3[i] END), x -> x IS NOT NULL) AS d3, g3,
+                     list_filter(list_transform(generate_series(1, len(g4)),
+                       i -> CASE WHEN (i > 1 AND g4[i] = g4[i-1])
+                                   OR (i < len(g4) AND g4[i] = g4[i+1])
+                            THEN g4[i] END), x -> x IS NOT NULL) AS d4, g4
+              FROM gr
             )
             SELECT doc_id,
                    round(CASE WHEN len(l) > 0
@@ -1748,13 +1770,19 @@ def oracle_sql() -> dict[str, str]:
                          THEN coalesce(list_sum(list_transform(dl, x -> length(x))), 0)
                               / CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE)
                          ELSE 0.0 END, 6) AS dup_line_char_frac,
-                   round(CASE WHEN len(g2) > 0
-                         THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+                   round(CASE WHEN coalesce(list_sum(list_transform(g2, x -> length(x))), 0) > 0
+                         THEN coalesce(list_sum(list_transform(d2, x -> length(x))), 0)
+                              / CAST(list_sum(list_transform(g2, x -> length(x))) AS DOUBLE)
                          ELSE 0.0 END, 6) AS dup_2gram_frac,
-                   round(CASE WHEN len(g3) > 0
-                         THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
-                         ELSE 0.0 END, 6) AS dup_3gram_frac
-            FROM gr""",
+                   round(CASE WHEN coalesce(list_sum(list_transform(g3, x -> length(x))), 0) > 0
+                         THEN coalesce(list_sum(list_transform(d3, x -> length(x))), 0)
+                              / CAST(list_sum(list_transform(g3, x -> length(x))) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_3gram_frac,
+                   round(CASE WHEN coalesce(list_sum(list_transform(g4, x -> length(x))), 0) > 0
+                         THEN coalesce(list_sum(list_transform(d4, x -> length(x))), 0)
+                              / CAST(list_sum(list_transform(g4, x -> length(x))) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_4gram_frac
+            FROM du""",
         # replay of top_ngram_char_frac: count per (doc, bigram), rank
         # by count desc / gram asc, keep the winner (text.py:173-210)
         "d_top_ngram": f"""

@@ -112,10 +112,24 @@ def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     - ``dup_line_frac``      fraction of lines occurring more than once
     - ``dup_line_char_frac`` fraction of line characters in such lines
-    - ``dup_2gram_frac``     1 − distinct/total word-bigram occurrences
+    - ``dup_2gram_frac``     fraction of word-bigram characters inside
+                             bigrams that occur more than once in the doc
     - ``dup_3gram_frac``     same for trigrams
+    - ``dup_4gram_frac``     same for 4-grams
 
-    Duplicate-line detection sorts the line array once and flags
+    The n-gram fractions are CHARACTER-weighted, matching Gopher's
+    "fraction of characters contained within duplicate n-grams" family:
+    numerator = Σ len(g) over every occurrence of a gram value that
+    appears ≥2× in the doc; denominator = Σ len(g) over all gram
+    occurrences. Known deviation from the paper (documented, not
+    hidden): Gopher de-overlaps duplicated character *spans* before
+    counting, so its numerator counts each original-text character at
+    most once, while gram-occurrence weighting counts a character once
+    per covering duplicated gram — a monotone-equivalent signal bounded
+    in [0,1], but re-calibrate thresholds before reusing the paper's
+    cut-offs verbatim.
+
+    Duplicate line/gram detection sorts the array once and flags equal
     neighbors (O(L log L) per doc, not the naive O(L²) nested scan — a
     100 TB corpus has docs with 10⁴+ lines). Single-line docs score 0.
     """
@@ -147,11 +161,26 @@ def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
                 lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        total = F.size(grams)
-        return F.when(
-            total > 0,
-            F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
-        ).otherwise(F.lit(0.0))
+        gs = F.array_sort(grams)
+        ng = F.size(gs)
+        # occurrences whose gram value repeats = equal to a sorted neighbor
+        dup_occ = F.when(
+            ng > 0,
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), ng),
+                    lambda i: F.when(
+                        ((i > 1) & (F.element_at(gs, i) == F.element_at(gs, i - 1)))
+                        | ((i < ng) & (F.element_at(gs, i) == F.element_at(gs, i + 1))),
+                        F.element_at(gs, i),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        dup_c = F.aggregate(dup_occ, F.lit(0), lambda acc, x: acc + F.length(x))
+        tot_c = F.aggregate(gs, F.lit(0), lambda acc, x: acc + F.length(x))
+        return F.when(tot_c > 0, dup_c / tot_c.cast("double")).otherwise(F.lit(0.0))
 
     return (
         df.withColumn(
@@ -171,6 +200,7 @@ def add_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("dup_2gram_frac", F.round(_dup_ngram_frac(2), 6))
         .withColumn("dup_3gram_frac", F.round(_dup_ngram_frac(3), 6))
+        .withColumn("dup_4gram_frac", F.round(_dup_ngram_frac(4), 6))
     )
 
 
