@@ -23,8 +23,10 @@ Plan shape / scale notes:
 - The frontier shuffles on the current-vertex key each step (same
   volume as one BFS level over the walk set, |walks| rows, NOT |E|).
 - Hub neighbor arrays are one row per vertex (same layout the
-  triangle counter uses, tc.py): at 10^12-edge scale cap arrays via
-  ``max_degree`` — walks through a capped hub sample its first
+  triangle counter uses, tc.py): by default a cap auto-derives from
+  the cached degree stats (``max_degree="auto"`` →
+  :data:`AUTO_DEGREE_BUDGET` when a hub exceeds it, built via salted
+  two-stage ranking) — walks through a capped hub sample its first
   ``max_degree`` sorted neighbors, documented truncation.
 - Walk length L = L superstep joins; lineage is truncated every
   ``ckpt_every`` steps with an eager localCheckpoint.
@@ -50,17 +52,66 @@ def _hstep(walk_id, step, vid):
     )
 
 
-def adjacency_arrays(g: Graph, max_degree: int | None = None) -> DataFrame:
-    """(src, nbrs array<long> sorted asc, deg int) — one aggregation of
-    the persisted edge table; neighbor order is the deterministic dst
-    order the oracle's ``row_number() OVER (ORDER BY dst)`` replays.
-    ``max_degree`` truncates hub arrays (keeps the deg-smallest
-    neighbors) for bounded row width at web scale."""
-    adj = g.edges.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
-    if max_degree is not None:
-        adj = adj.withColumn("nbrs", F.slice("nbrs", 1, max_degree))
+# Auto-cap budget for per-vertex adjacency arrays: a 2^20-neighbor hub
+# array is ~8 MB — safely inside an executor aggregation buffer; a
+# 10^8-degree web hub would be a multi-GB single row without the cap.
+AUTO_DEGREE_BUDGET = 1 << 20
+# Target rows per sort task when salting a skewed key: bounds the
+# per-task sort input so no straggler task owns a hub's full edge list.
+_ROWS_PER_TASK = 1 << 22
+_MAX_SALTS = 256
+
+
+def _n_salts(hub_degree: int) -> int:
+    return max(1, min(_MAX_SALTS, -(-hub_degree // _ROWS_PER_TASK)))
+
+
+def adjacency_arrays(
+    g: Graph, max_degree: int | str | None = "auto", n_salts: int | None = None
+) -> DataFrame:
+    """(src, nbrs array<long> sorted asc, deg int) — neighbor order is
+    the deterministic dst order the oracle's ``row_number() OVER
+    (ORDER BY dst)`` replays; a cap keeps the deg-smallest neighbors
+    (documented truncation).
+
+    Skew posture (the vxm auto-salt pattern, vecmat.py): ``"auto"``
+    (default) consults the cached ``Graph.hub_degree("src")`` — one
+    scan, computed once per graph — and caps hub arrays at
+    :data:`AUTO_DEGREE_BUDGET` only when some vertex exceeds it, so an
+    uncapped 10^8-degree web hub can never materialize as a multi-GB
+    row. When a cap is in force the array is built in two salted
+    stages (per-(src, salt) ranked truncation, then a bounded merge)
+    so no single sort task or aggregation buffer sees a hub's full
+    edge list either. ``None`` opts into unbounded arrays explicitly;
+    an int caps unconditionally."""
+    if max_degree == "auto":
+        hub = g.hub_degree("src")
+        max_degree = AUTO_DEGREE_BUDGET if hub > AUTO_DEGREE_BUDGET else None
+
+    if max_degree is None:
+        adj = g.edges.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
+        return adj.withColumn("deg", F.size("nbrs"))
+
+    from pyspark.sql.window import Window
+
+    if n_salts is None:
+        n_salts = _n_salts(g.hub_degree("src"))
+    e = g.edges.select("src", "dst")
+    if n_salts > 1:
+        # stage 1: rank within (src, salt) — the hub's edge list splits
+        # across n_salts spill-safe sort tasks; per-salt top-cap keeps
+        # every candidate for the global dst-ascending top-cap
+        w1 = Window.partitionBy("src", F.pmod(F.col("dst"), F.lit(n_salts))).orderBy("dst")
+        e = e.withColumn("rk", F.row_number().over(w1)).filter(
+            F.col("rk") <= max_degree
+        ).drop("rk")
+    # stage 2: global per-src rank over ≤ n_salts·cap survivors, then a
+    # collect bounded at cap rows per vertex
+    w2 = Window.partitionBy("src").orderBy("dst")
+    ranked = e.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= max_degree)
+    adj = ranked.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
     return adj.withColumn("deg", F.size("nbrs"))
 
 
@@ -70,7 +121,7 @@ def random_walks(
     n_roots: int = 64,
     walk_length: int = 8,
     walks_per_root: int = 1,
-    max_degree: int | None = None,
+    max_degree: int | str | None = "auto",
     ckpt_every: int = 4,
 ) -> DataFrame:
     """(walk_id long, step long, id long): position of each walk after
@@ -118,36 +169,65 @@ def random_walks(
     return result.select("walk_id", "step", "id")
 
 
+def sampled_adjacency(
+    g: Graph, kmax: int, n_salts: int | None = None
+) -> DataFrame:
+    """(src, dst, rk): each vertex's ``kmax`` hash-ranked neighbors,
+    rk = row_number over (hash(src,dst), dst) per src — the sampled
+    adjacency :func:`neighborhood_sample` layers filter by rank.
+
+    Skew posture: a single window partitioned by ``src`` would sort a
+    web hub's entire 10^7–10^8-edge list in ONE task — the straggler
+    the north rule says to de-skew. Instead the rank runs in two
+    stages: (1) rank within (src, salt) — the hub splits across
+    ``n_salts`` spill-safe sort tasks, and per-salt top-``kmax``
+    already contains every global top-``kmax`` candidate; (2) re-rank
+    the ≤ n_salts·kmax survivors per src — a tiny sort. ``n_salts``
+    defaults to auto-derivation from the cached ``Graph.hub_degree``
+    (1 salt per ~4M hub edges, the vxm auto-salt pattern), so the
+    salting stage only exists when the degree stats say it must."""
+    from pyspark.sql.window import Window
+
+    if n_salts is None:
+        n_salts = _n_salts(g.hub_degree("src"))
+    h = F.pmod(F.col("src") * F.lit(_A_WALK) + F.col("dst") * F.lit(_A_STEP), F.lit(_MOD))
+    e = g.edges.select("src", "dst")
+    if n_salts > 1:
+        w1 = Window.partitionBy("src", F.pmod(F.col("dst"), F.lit(n_salts))).orderBy(
+            h, F.col("dst")
+        )
+        e = (
+            e.withColumn("rk", F.row_number().over(w1))
+            .filter(F.col("rk") <= kmax)
+            .drop("rk")
+        )
+    w2 = Window.partitionBy("src").orderBy(h, F.col("dst"))
+    return e.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= kmax)
+
+
 def neighborhood_sample(
     g: Graph,
     roots: DataFrame | None = None,
     n_roots: int = 64,
     fanouts: tuple[int, ...] = (3, 2),
+    n_salts: int | None = None,
 ) -> DataFrame:
     """GraphSAGE-style layered fan-out sample: (root long, layer long,
     id long), layer 0 = the root itself, layer t+1 = for every layer-t
     vertex its ``fanouts[t]`` hash-ranked neighbors, deduped per
     (root, layer). Rank is a pure (src, dst) hash with dst tiebreak, so
-    the sampled adjacency is computed ONCE (one window partitioned by
-    src — partition-local, no global sort) and every layer reuses it
-    filtered to its fanout.
+    the sampled adjacency is computed ONCE (:func:`sampled_adjacency`,
+    hub-salted — no full-edge single-task sort) and every layer reuses
+    it filtered to its fanout.
 
     At 10^12 edges the ranked adjacency is the only heavy structure:
-    one |E| shuffle, reused by all layers; the per-layer joins carry
-    only the expanding frontier (Π fanouts rows per root)."""
-    from pyspark.sql.window import Window
-
+    one |E| shuffle (two when the degree stats demand a salting
+    stage), reused by all layers; the per-layer joins carry only the
+    expanding frontier (Π fanouts rows per root)."""
     if roots is None:
         roots = g.vertices.orderBy("id").limit(n_roots)
     kmax = max(fanouts)
-    h = F.pmod(F.col("src") * F.lit(_A_WALK) + F.col("dst") * F.lit(_A_STEP), F.lit(_MOD))
-    w = Window.partitionBy("src").orderBy(h, F.col("dst"))
-    adj = (
-        g.edges.select("src", "dst")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= kmax)
-        .persist()
-    )
+    adj = sampled_adjacency(g, kmax, n_salts=n_salts).persist()
 
     frontier = roots.select(F.col("id").alias("root"), F.col("id"))
     out = [frontier.withColumn("layer", F.lit(0).cast("long"))]

@@ -135,3 +135,68 @@ def test_random_walks_explicit_roots_df(spark):
     walks = random_walks(g, roots=roots, walk_length=4).collect()
     assert {r["walk_id"] for r in walks} <= {0, 1, 2}
     assert {r["id"] for r in walks if r["step"] == 0} <= {0, 1, 2}
+
+
+def test_sampled_adjacency_salted_equals_unsalted(spark):
+    """The two-stage salted rank must produce byte-identical sampled
+    adjacency to the single-window rank — salting is a physical de-skew
+    only, never a semantic change."""
+    from graphblast_spark.algorithms.walks import sampled_adjacency
+
+    g = fixture_graph(spark, "chesapeake")
+    unsalted = sorted(map(tuple, sampled_adjacency(g, kmax=3, n_salts=1).collect()))
+    for s in (2, 8, 64):
+        salted = sorted(map(tuple, sampled_adjacency(g, kmax=3, n_salts=s).collect()))
+        assert salted == unsalted, f"n_salts={s} diverged"
+    g.unpersist()
+
+
+def test_neighborhood_sample_salted_equals_unsalted(spark):
+    g = fixture_graph(spark, "chesapeake")
+    a = sorted(map(tuple, neighborhood_sample(g, n_roots=6, n_salts=1).collect()))
+    b = sorted(map(tuple, neighborhood_sample(g, n_roots=6, n_salts=8).collect()))
+    assert a == b
+    g.unpersist()
+
+
+def test_adjacency_arrays_salted_cap_equals_plain_truncation(spark):
+    g = fixture_graph(spark, "chesapeake")
+    plain = {r["src"]: r["nbrs"] for r in adjacency_arrays(g, max_degree=3, n_salts=1).collect()}
+    salted = {r["src"]: r["nbrs"] for r in adjacency_arrays(g, max_degree=3, n_salts=8).collect()}
+    assert plain == salted
+    g.unpersist()
+
+
+def test_adjacency_arrays_auto_cap_from_degree_stats(spark):
+    """auto = unbounded while the hub fits the budget; a tiny injected
+    budget must force the cap (the vxm auto-salt posture)."""
+    import graphblast_spark.algorithms.walks as W
+
+    g = fixture_graph(spark, "chesapeake")
+    hub = g.hub_degree("src")
+    assert hub > 3
+    full = {r["src"]: r["nbrs"] for r in adjacency_arrays(g, max_degree=None).collect()}
+    auto = {r["src"]: r["nbrs"] for r in adjacency_arrays(g).collect()}
+    assert auto == full  # budget not exceeded → uncapped
+    old = W.AUTO_DEGREE_BUDGET
+    W.AUTO_DEGREE_BUDGET = 3
+    try:
+        capped = {r["src"]: r["nbrs"] for r in adjacency_arrays(g).collect()}
+    finally:
+        W.AUTO_DEGREE_BUDGET = old
+    assert all(len(v) <= 3 for v in capped.values())
+    assert all(capped[s] == full[s][:3] for s in capped)
+    g.unpersist()
+
+
+def test_sampled_adjacency_plan_has_no_full_edge_single_window(spark):
+    """When salting is forced, stage 1 must window over (src, salt) —
+    the hub's edge list may never land in one sort task."""
+    from graphblast_spark.algorithms.walks import sampled_adjacency
+
+    g = fixture_graph(spark, "chesapeake")
+    plan = sampled_adjacency(g, kmax=3, n_salts=8)._jdf.queryExecution().optimizedPlan().toString()
+    n_windows = plan.count("Window [")
+    assert n_windows == 2, plan  # salted pre-rank + bounded re-rank
+    assert "pmod" in plan.lower()
+    g.unpersist()
