@@ -19,7 +19,9 @@ Physical plan (scale notes):
   BFS/MSBFS pattern. One eager localCheckpoint per level (the
   superstep action, lineage truncated).
 - state is O(reached (root, vertex) pairs) — the same bound MSBFS
-  carries; batch the roots to budget memory, as diameter() does.
+  carries; root batching is AUTOMATED (root_batch="auto" sizes batches
+  from diameter.ROOT_PAIR_BUDGET / |V|, per-batch delta sums
+  accumulated — additive over roots, so batched == unbatched exactly).
 - backward level d+1 → d: DAG edges are recovered by joining level-d
   vertices to level-(d+1) vertices through the edge table (no stored
   predecessor lists — recomputing the join is cheaper at scale than
@@ -36,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, child_runner, stable_partitions
 
 
 def betweenness_centrality(
@@ -45,6 +47,7 @@ def betweenness_centrality(
     n_sources: int = 8,
     max_depth: int | None = None,
     runner: SuperstepRunner | None = None,
+    root_batch: int | str | None = "auto",
 ) -> DataFrame:
     """Returns (id long, bc double), dense over all vertices.
 
@@ -58,9 +61,17 @@ def betweenness_centrality(
     forward sweep (paths longer than it are ignored on BOTH sweeps —
     the depth-bounded semantics the oracle contract pins); ``None``
     runs to frontier exhaustion (exact within the root sample).
+
+    ``root_batch`` bounds the O(|roots|·|V|) sweep state: roots are
+    processed in batches, per-batch delta sums accumulated — Brandes'
+    dependency accumulation is additive over roots, so the batched sum
+    is exactly the unbatched result. "auto" (default) sizes batches
+    from the shared pair budget (``diameter.ROOT_PAIR_BUDGET`` / |V|),
+    ``None`` sweeps every root at once.
     """
+    from graphblast_spark.algorithms.diameter import _auto_root_batch, _batched_roots
+
     spark = g.edges.sparkSession
-    edges = g.edges.select("src", "dst")
     if runner is None:
         runner = SuperstepRunner(spark)
 
@@ -74,6 +85,41 @@ def betweenness_centrality(
         roots = spark.createDataFrame(
             [(int(s),) for s in sorted(set(int(s) for s in sources))], "id long"
         )
+
+    batch = _auto_root_batch(root_batch, g.n)
+    partial = None
+    if batch is not None:
+        n_roots = roots.count()
+        if n_roots > batch:
+            rb = _batched_roots(roots, batch, "id").localCheckpoint(eager=True)
+            n_batches = -(-n_roots // batch)
+            for i in range(n_batches):
+                p = _bc_one_batch(
+                    g,
+                    rb.filter(F.col("__b") == i).select("id"),
+                    max_depth,
+                    child_runner(runner, spark, f"batch_{i:04d}"),
+                ).localCheckpoint(eager=True)
+                partial = p if partial is None else (
+                    partial.unionByName(p).groupBy("id").agg(F.sum("bc").alias("bc"))
+                )
+    if partial is None:
+        partial = _bc_one_batch(g, roots, max_depth, runner)
+    return g.vertices.select("id").join(partial, on="id", how="left").select(
+        "id", F.coalesce("bc", F.lit(0.0)).alias("bc")
+    )
+
+
+def _bc_one_batch(
+    g: Graph,
+    roots: DataFrame,
+    max_depth: int | None,
+    runner: SuperstepRunner,
+) -> DataFrame:
+    """One root batch of batched Brandes → SPARSE (id, bc) partial sums
+    (only vertices with non-zero delta; the caller restores density)."""
+    spark = g.edges.sparkSession
+    edges = g.edges.select("src", "dst")
 
     # -- forward: per-level frontiers (root, id, sigma) -----------------
     level0 = roots.select(
@@ -156,16 +202,13 @@ def betweenness_centrality(
             deltas.append(delta_next)
 
     if not deltas:
-        return g.vertices.select("id", F.lit(0.0).alias("bc"))
+        return spark.createDataFrame([], "id long, bc double")
 
     all_deltas = deltas[0]
     for dd in deltas[1:]:
         all_deltas = all_deltas.unionByName(dd)
-    bc = (
+    return (
         all_deltas.filter(F.col("id") != F.col("root"))
         .groupBy("id")
         .agg(F.sum("delta").alias("bc"))
-    )
-    return g.vertices.select("id").join(bc, on="id", how="left").select(
-        "id", F.coalesce("bc", F.lit(0.0)).alias("bc")
     )

@@ -21,7 +21,32 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, child_runner, stable_partitions
+
+# Frontier-state budget for root-batched sweeps: the multi-source state
+# is O(reached (root, vertex) pairs) ≤ |roots|·|V|; batches are sized so
+# one batch's worst case stays near this many pairs (~2^26 ≈ 67M rows ≈
+# a few GB across the cluster). A 1000-root exact sweep over a 10^9-
+# vertex graph would otherwise hold 10^12 pairs — guaranteed OOM.
+ROOT_PAIR_BUDGET = 1 << 26
+
+
+def _auto_root_batch(root_batch, n_vertices: int) -> int | None:
+    """Resolve the ``root_batch`` knob: "auto" derives a batch size from
+    the pair budget and |V| (the auto-salt posture — sized from graph
+    stats, not on request); None disables batching; an int is explicit."""
+    if root_batch == "auto":
+        return max(1, ROOT_PAIR_BUDGET // max(n_vertices, 1))
+    return root_batch
+
+
+def _batched_roots(roots: DataFrame, batch: int, col: str) -> DataFrame:
+    """Add a ``__b`` batch index by rank order of the root id — pure
+    DataFrame (no driver collect); the roots table is small by contract."""
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.orderBy(col)) - 1
+    return roots.withColumn("__b", F.floor(rn / batch).cast("long"))
 
 
 def multi_source_bfs(
@@ -29,11 +54,18 @@ def multi_source_bfs(
     sources,
     desc: Descriptor = DEFAULT_DESC,
     runner: SuperstepRunner | None = None,
+    root_batch: int | str | None = "auto",
 ):
     """BFS from every id in ``sources`` — an iterable of vertex ids, or
     a single-column DataFrame of them (no driver round-trip).
     Returns (root long, id long, depth long) — sparse: unreached
-    (root, id) pairs have no row."""
+    (root, id) pairs have no row.
+
+    ``root_batch`` bounds the in-flight multi-source state: roots are
+    swept in batches of at most this many, each batch a full BFS-to-
+    exhaustion, outputs unioned — identical result, memory capped at
+    O(batch·|V|) pairs. Default "auto" sizes the batch from
+    :data:`ROOT_PAIR_BUDGET` / |V|; ``None`` sweeps all roots at once."""
     spark = g.edges.sparkSession
     if runner is None:
         runner = SuperstepRunner(spark)
@@ -42,6 +74,33 @@ def multi_source_bfs(
         src_df = sources.select(F.col(sources.columns[0]).cast("long").alias("root"))
     else:
         src_df = spark.createDataFrame([(int(s),) for s in sources], "root long")
+
+    batch = _auto_root_batch(root_batch, g.n)
+    if batch is not None:
+        n_roots = src_df.count()
+        if n_roots > batch:
+            rb = _batched_roots(src_df, batch, "root").localCheckpoint(eager=True)
+            n_batches = -(-n_roots // batch)
+            out = None
+            for i in range(n_batches):
+                part = _msbfs_one_batch(
+                    g,
+                    rb.filter(F.col("__b") == i).select("root"),
+                    desc,
+                    child_runner(runner, spark, f"batch_{i:04d}"),
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+    return _msbfs_one_batch(g, src_df, desc, runner)
+
+
+def _msbfs_one_batch(
+    g: Graph,
+    src_df: DataFrame,
+    desc: Descriptor,
+    runner: SuperstepRunner,
+):
+    spark = g.edges.sparkSession
 
     def init():
         seed = src_df.select("root", F.col("root").alias("id"),

@@ -49,6 +49,23 @@ def stable_partitions(spark: SparkSession):
         spark.conf.set(key, old)
 
 
+def child_runner(runner: "SuperstepRunner | None", spark: SparkSession, tag: str) -> "SuperstepRunner":
+    """A sub-runner for one batch of a root-batched sweep (BC / MSBFS):
+    inherits the parent's checkpoint cadence but writes under its own
+    ``run_dir/tag`` so per-batch resume stays well-defined — a restart
+    replays finished batches from their newest checkpoints and picks the
+    interrupted batch up mid-iteration, instead of mixing batch states
+    in one checkpoint namespace."""
+    if runner is None:
+        return SuperstepRunner(spark)
+    return SuperstepRunner(
+        spark,
+        run_dir=os.path.join(runner.run_dir, tag) if runner.run_dir else None,
+        checkpoint_every=runner.checkpoint_every,
+        name=f"{runner.name}/{tag}",
+    )
+
+
 @dataclass
 class SuperstepRunner:
     spark: SparkSession

@@ -288,3 +288,41 @@ def test_betweenness_duplicate_roots_deduped(spark):
     via_df = {r["id"]: r["bc"] for r in betweenness_centrality(g, sources=df_duped).collect()}
     assert clean == pytest.approx(via_df, abs=1e-12)
     g.unpersist()
+
+
+def test_betweenness_root_batching_exact(spark):
+    """Brandes delta sums are additive over roots: forced tiny batches
+    must reproduce the single-sweep scores exactly."""
+    from graphblast_spark.algorithms.bc import betweenness_centrality
+
+    g = fixture_graph(spark, "chesapeake")
+    roots = [0, 1, 2, 3, 4, 5]
+    whole = {r["id"]: r["bc"] for r in
+             betweenness_centrality(g, sources=roots, root_batch=None).collect()}
+    for b in (1, 2, 4):
+        batched = {r["id"]: r["bc"] for r in
+                   betweenness_centrality(g, sources=roots, root_batch=b).collect()}
+        assert whole == pytest.approx(batched, abs=1e-9), f"root_batch={b}"
+    g.unpersist()
+
+
+def test_msbfs_root_batching_exact(spark):
+    from graphblast_spark.algorithms.diameter import multi_source_bfs
+
+    g = fixture_graph(spark, "test_cc")
+    roots = list(range(6))
+    whole = sorted(map(tuple, multi_source_bfs(g, roots, root_batch=None).collect()))
+    for b in (1, 2, 4):
+        batched = sorted(map(tuple, multi_source_bfs(g, roots, root_batch=b).collect()))
+        assert whole == batched, f"root_batch={b}"
+    g.unpersist()
+
+
+def test_auto_root_batch_sizing():
+    from graphblast_spark.algorithms.diameter import ROOT_PAIR_BUDGET, _auto_root_batch
+
+    assert _auto_root_batch("auto", 1000) == ROOT_PAIR_BUDGET // 1000
+    assert _auto_root_batch("auto", 10**12) == 1   # huge graph → 1 root per batch
+    assert _auto_root_batch("auto", 0) == ROOT_PAIR_BUDGET
+    assert _auto_root_batch(None, 1000) is None
+    assert _auto_root_batch(7, 1000) == 7
