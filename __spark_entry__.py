@@ -667,6 +667,19 @@ def q_d_contamination(spark, sf_dir):
     ).select("doc_id", "n_grams", "n_contaminated", "contaminated_frac")
 
 
+def q_d_span_dedup(spark, sf_dir):
+    """Verbatim-span dedup tier (Lee et al. 2022): per-doc duplicated-
+    span profile over disjoint 3-token windows (the synthetic docs are
+    single-line, so token windows stand in for paragraphs; the
+    machinery is span-source-agnostic — functions/dedup.py
+    span_dedup_stats / paragraph_spans)."""
+    from graphblast_spark.functions.dedup import span_dedup_stats
+
+    return span_dedup_stats(_docs(spark, sf_dir), span_tokens=3).select(
+        "doc_id", "n_spans", "n_dup_spans", "dup_span_frac"
+    )
+
+
 def q_d_exact_dedup(spark, sf_dir):
     return exact_duplicate_groups(_docs(spark, sf_dir)).select(
         "fp_md5", "n_dups", "canonical_id"
@@ -815,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_hash_split": q_d_hash_split,
         "d_stratified": q_d_stratified,
         "d_contamination": q_d_contamination,
+        "d_span_dedup": q_d_span_dedup,
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_lsh": q_d_minhash_lsh,
         "d_jaccard": q_d_jaccard,
@@ -1802,6 +1816,36 @@ def oracle_sql() -> dict[str, str]:
                          THEN c * length(gram) / CAST(n_chars AS DOUBLE)
                          ELSE 0.0 END, 6) AS top_ngram_char_frac
             FROM r WHERE rn = 1""",
+        # replay of span_dedup_stats over disjoint 3-token windows:
+        # corpus-wide md5-count per span, char-weighted per-doc dup
+        # fraction (functions/dedup.py span_dedup_stats)
+        "d_span_dedup": f"""
+            WITH {_TOKS},
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN list_transform(
+                            generate_series(1, len(t)-2, 3),
+                            i -> array_to_string(t[i:i+2], ' '))
+                          WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                          ELSE [] END AS ws
+              FROM toks
+            ),
+            occ0 AS (SELECT doc_id, unnest(ws) AS span FROM w),
+            occ AS (SELECT doc_id, md5(span) AS h, length(span) AS c FROM occ0),
+            cnt AS (SELECT h, count(*) AS n FROM occ GROUP BY h),
+            pd AS (
+              SELECT occ.doc_id AS doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_dup,
+                     sum(c) AS tc,
+                     sum(CASE WHEN n >= 2 THEN c ELSE 0 END) AS dc
+              FROM occ JOIN cnt ON occ.h = cnt.h GROUP BY occ.doc_id
+            )
+            SELECT d.doc_id AS doc_id,
+                   coalesce(n_spans, 0) AS n_spans,
+                   coalesce(n_dup, 0) AS n_dup_spans,
+                   round(CASE WHEN coalesce(tc, 0) > 0
+                         THEN dc / CAST(tc AS DOUBLE) ELSE 0.0 END, 6) AS dup_span_frac
+            FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
         "d_exact_dedup": """
             SELECT md5(text) AS fp_md5, count(*) AS n_dups, min(doc_id) AS canonical_id
             FROM documents GROUP BY md5(text) HAVING count(*) >= 2""",

@@ -7,11 +7,15 @@ from graphblast_spark.functions.text import (
     top_ngram_char_frac,
 )
 from graphblast_spark.functions.dedup import (
+    duplicate_spans,
     exact_duplicate_groups,
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    paragraph_spans,
     simhash64,
+    span_dedup_stats,
+    token_window_spans,
 )
 from graphblast_spark.functions.sampling import (
     hash_split,
@@ -25,6 +29,7 @@ __all__ = [
     "add_repetition_signals", "top_ngram_char_frac",
     "exact_duplicate_groups", "lsh_candidate_pairs", "minhash_signature",
     "ngram_jaccard_pairs", "simhash64",
+    "paragraph_spans", "token_window_spans", "duplicate_spans", "span_dedup_stats",
     "hash_split", "ngram_contamination", "stratified_sample",
     "brute_force_topk", "ivf_topk",
 ]

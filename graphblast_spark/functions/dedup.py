@@ -282,3 +282,155 @@ def simhash64(
         bit = F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+# ----------------------------------------------------------------------
+# Span-level exact dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the verbatim-span tier). MinHash/LSH
+# above catches near-duplicate DOCUMENTS; the dominant contamination
+# mode in Common-Crawl corpora is long verbatim spans (boilerplate,
+# licenses, quoted articles) embedded in otherwise-distinct pages.
+# Lee et al. use suffix arrays (exact substrings ≥50 tokens); the
+# Spark-scalable reframe is exact dedup at SPAN granularity — split
+# every doc into spans (paragraphs, or fixed token windows for
+# unstructured text), md5 each span, and hash-groupBy corpus-wide:
+# the same one-short-key-shuffle machinery as exact_duplicate_groups,
+# at span granularity.
+#
+# Plan shape at 10^12 docs: span extraction is a narrow projection +
+# explode; the occurrence→count join and both aggregations shuffle on
+# md5(span) / doc_id — uniform 16-byte / id keys with map-side
+# combining, no windows, no skewed key (a boilerplate span repeated
+# 10^9× concentrates its COUNT row, but counts pre-aggregate map-side;
+# the occurrence rows stay spread across their docs' partitions).
+# ----------------------------------------------------------------------
+
+
+def paragraph_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim_re: str = "\\n+",
+    min_chars: int = 1,
+) -> DataFrame:
+    """(doc_id, pos, span): documents split into paragraph spans on the
+    delimiter regex, whitespace-trimmed, spans shorter than
+    ``min_chars`` dropped. ``pos`` is the 0-based span position within
+    the doc (provenance key)."""
+    parts = F.filter(
+        F.transform(F.split(F.col(text_col), delim_re), lambda p: F.trim(p)),
+        lambda p: F.length(p) >= min_chars,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(parts).alias("pos", "span")
+    )
+
+
+def token_window_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    stride: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos, span): fixed token windows for UNSTRUCTURED text
+    (no paragraph breaks) — ``span_tokens`` words per span, windows
+    every ``stride`` tokens (default = span_tokens, i.e. disjoint
+    windows; a smaller stride overlaps windows and catches spans that
+    straddle a window boundary at proportional cost). Docs shorter
+    than one window contribute their whole text as a single span; the
+    trailing partial window is dropped (its tokens are covered by the
+    stride-aligned windows for stride ≤ span_tokens)."""
+    if stride is None:
+        stride = span_tokens
+    toks = tokens(F.col(text_col))
+    m = F.size(toks)
+    windows = (
+        F.when(
+            m >= span_tokens,
+            F.transform(
+                F.sequence(F.lit(1), m - (span_tokens - 1), F.lit(stride)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, span_tokens)),
+            ),
+        )
+        .when(m > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(windows).alias("pos", "span")
+    )
+
+
+def duplicate_spans(spans: DataFrame) -> DataFrame:
+    """Corpus-wide span provenance: (span_md5, n_occurrences,
+    canonical_doc_id, canonical_pos) for spans occurring ≥2 times.
+    The canonical occurrence — the one Lee-et-al-style removal keeps —
+    is the (doc_id, pos)-smallest, deterministic on any cluster."""
+    return (
+        spans.select("doc_id", "pos", F.md5("span").alias("span_md5"))
+        .groupBy("span_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("doc_id", "pos")).alias("c"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "span_md5",
+            "n_occurrences",
+            F.col("c.doc_id").alias("canonical_doc_id"),
+            F.col("c.pos").alias("canonical_pos"),
+        )
+    )
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **window_kwargs,
+) -> DataFrame:
+    """Per-document verbatim-duplication profile:
+    (doc_id, n_spans, n_dup_spans, dup_span_frac) where a span
+    occurrence is duplicated iff its exact text occurs ≥2 times
+    ANYWHERE in the corpus (including within the same doc), and
+    ``dup_span_frac`` is the character-weighted fraction of the doc's
+    span characters inside duplicated spans — the doc-level signal for
+    span-removal / filtering policies. Docs with zero spans report
+    (0, 0, 0.0).
+
+    ``spans`` defaults to :func:`token_window_spans` over ``docs``
+    (pass :func:`paragraph_spans` output for structured text)."""
+    if spans is None:
+        spans = token_window_spans(docs, id_col, text_col, **window_kwargs)
+    occ = spans.select(
+        "doc_id", F.md5("span").alias("span_md5"), F.length("span").alias("c")
+    )
+    counts = occ.groupBy("span_md5").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.col("n_occ") >= 2
+    per_doc = (
+        occ.join(counts, "span_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_spans"),
+            F.sum("c").alias("tot_c"),
+            F.sum(F.when(dup, F.col("c")).otherwise(0)).alias("dup_c"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("tot_c", F.lit(0)) > 0,
+                    F.col("dup_c") / F.col("tot_c").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -299,3 +299,72 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_stats(assets, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup (Lee et al. 2022 verbatim-span tier)
+# ---------------------------------------------------------------------------
+
+def test_paragraph_span_dedup_injected_spans(spark):
+    """Docs 1 and 2 share one injected verbatim paragraph; doc 3 repeats
+    a paragraph internally; doc 4 is clean."""
+    from graphblast_spark.functions.dedup import (
+        duplicate_spans,
+        paragraph_spans,
+        span_dedup_stats,
+    )
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        (1, f"unique alpha text\n{boiler}\nmore alpha"),
+        (2, f"totally different beta\n{boiler}"),
+        (3, "gamma gamma\ngamma gamma\nother"),
+        (4, "clean delta content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = paragraph_spans(docs)
+    prov = {r["canonical_doc_id"]: r for r in duplicate_spans(spans).collect()}
+    # boiler: canonical at (1, 1); doc-3 self-repeat: canonical at (3, 0)
+    assert prov[1]["n_occurrences"] == 2 and prov[1]["canonical_pos"] == 1
+    assert prov[3]["n_occurrences"] == 2 and prov[3]["canonical_pos"] == 0
+    stats = {r["doc_id"]: r for r in span_dedup_stats(docs, spans=spans).collect()}
+    assert (stats[1]["n_spans"], stats[1]["n_dup_spans"]) == (3, 1)
+    d1_chars = len("unique alpha text") + len(boiler) + len("more alpha")
+    assert stats[1]["dup_span_frac"] == pytest.approx(len(boiler) / d1_chars, abs=1e-6)
+    assert stats[2]["n_dup_spans"] == 1
+    # doc 3: both 'gamma gamma' occurrences count as duplicated
+    assert (stats[3]["n_spans"], stats[3]["n_dup_spans"]) == (3, 2)
+    assert stats[4] and stats[4]["n_dup_spans"] == 0 and stats[4]["dup_span_frac"] == 0.0
+
+
+def test_token_window_spans_shapes(spark):
+    from graphblast_spark.functions.dedup import token_window_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in token_window_spans(docs, span_tokens=3).collect():
+        out.setdefault(r["doc_id"], []).append((r["pos"], r["span"]))
+    # 7 tokens, disjoint 3-windows at 1 and 4; trailing 'g' dropped
+    assert sorted(out[1]) == [(0, "a b c"), (1, "d e f")]
+    # short doc → whole text as a single span
+    assert out[2] == [(0, "x y")]
+    # empty doc → no spans
+    assert 3 not in out
+    # overlapping stride
+    out1 = {r["pos"]: r["span"] for r in
+            token_window_spans(docs.filter("doc_id = 1"), span_tokens=3, stride=2).collect()}
+    assert out1 == {0: "a b c", 1: "c d e", 2: "e f g"}
+
+
+def test_span_dedup_stats_no_dups_all_zero(spark):
+    from graphblast_spark.functions.dedup import span_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee ff")], "doc_id long, text string"
+    )
+    stats = {r["doc_id"]: r for r in span_dedup_stats(docs, span_tokens=3).collect()}
+    assert all(s["n_dup_spans"] == 0 and s["dup_span_frac"] == 0.0 for s in stats.values())
+    assert stats[1]["n_spans"] == 1
