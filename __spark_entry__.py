@@ -423,7 +423,7 @@ def q_e_cosine_neardup(spark, sf_dir):
     # 0.3 because the synthetic embeddings are near-orthogonal (max
     # pairwise cosine ≈ 0.5) — the plan shape is what's under test
     return cosine_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.3, n_cells=8
+        _emb(spark, sf_dir), threshold=0.3, n_cells=8, quantizer="firstn"
     ).select("a", "b", "cos")
 
 
@@ -431,7 +431,7 @@ def q_e_dedup_clusters(spark, sf_dir):
     # cosine near-dup pairs closed under CC (same cells/threshold as
     # e_cosine_neardup so the oracle shares its CTEs)
     return embedding_dedup_clusters(
-        _emb(spark, sf_dir), threshold=0.3, n_cells=8
+        _emb(spark, sf_dir), threshold=0.3, n_cells=8, quantizer="firstn"
     ).select("vec_id", "cluster_id", "is_canonical")
 
 
@@ -721,7 +721,7 @@ def q_e_ivf_knn(spark, sf_dir):
     # cosine cell ranking) — fully reproduced by the SQL oracle.
     emb = _emb(spark, sf_dir)
     queries = emb.orderBy("vec_id").limit(10)
-    return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+    return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4, quantizer="firstn")
 
 
 def q_events_window(spark, sf_dir):

@@ -92,6 +92,17 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, nprobe: int, id_col:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= nprobe).select("vid", "vv", "cell")
 
 
+def _firstn_centroids(vectors: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
+    """The deterministic first-``k``-by-id quantizer — the SQL-oracle
+    path (trivially replayable in ANSI SQL), NOT the production
+    default: on id-clustered corpora the first k ids can all fall in
+    one region, skewing cell sizes and recall."""
+    return vectors.orderBy(id_col).limit(k).select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
+        F.col(vec_col).alias("centroid"),
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 16,
@@ -101,24 +112,51 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic Lloyd k-means coarse quantizer → (cell, centroid).
 
-    Seedless init (the first ``k`` vectors by id), fixed iteration
-    count — fully reproducible. Per iteration: assign every vector to
-    its argmax-cosine centroid (broadcast score + aggregated argmax, no
-    window), then recompute each centroid as the element-wise mean of
-    its cell via posexplode → (cell, pos) partial-avg — the n·dim-row
-    shuffle combines map-side, so the cost is one pass over the corpus
-    per iteration. Cells that lose all members keep their previous
-    centroid. The first-n-by-id quantizer in :func:`ivf_topk` stays the
-    SQL-oracle path; this is the production replacement with the same
-    output schema."""
-    cents = (
-        vectors.orderBy(id_col).limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
-            F.col(vec_col).alias("centroid"),
-        )
-        .localCheckpoint(eager=True)
+    Init is seedless farthest-first traversal (Gonzalez k-center):
+    start from the min-id vector, then repeatedly add the vector with
+    the smallest max-cosine to the already-chosen seeds (ties → lowest
+    id). Fully deterministic on any partitioning, and immune to
+    id-order clustering — a first-k or random draw can start every
+    seed inside one dense region and leave Lloyd in a mixture-centroid
+    local optimum; farthest-first provably 2-approximates the k-center
+    cover, so every real cluster gets a seed. Cost: k-1 passes over
+    the corpus (one aggregated argmin each — no shuffle of the corpus,
+    lineage truncated every 8 rounds). For quantizers with large k,
+    train on a deterministic hash-sample of the corpus and pass the
+    result via ``centroids=`` downstream.
+
+    Then fixed-count Lloyd: assign every vector to its argmax-cosine
+    centroid (broadcast score + aggregated argmax, no window), and
+    recompute each centroid as the element-wise mean of its cell via
+    posexplode → (cell, pos) partial-avg — the n·dim-row shuffle
+    combines map-side, so each iteration is one pass over the corpus.
+    Cells that lose all members keep their previous centroid. This is
+    the production default quantizer; the first-n-by-id variant
+    remains only for the SQL-oracle contract queries."""
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    seed0 = v.orderBy("vid").limit(1).first()
+    seeds = [list(seed0["vv"])]
+    state = v.withColumn(
+        "best", cosine(F.col("vv"), F.array(*[F.lit(float(x)) for x in seeds[0]]))
     )
+    for i in range(1, k):
+        far = state.agg(
+            F.min_by(F.col("vv"), F.struct(F.col("best"), F.col("vid"))).alias("vv")
+        ).first()["vv"]
+        seeds.append(list(far))
+        state = state.withColumn(
+            "best",
+            F.greatest(
+                "best", cosine(F.col("vv"), F.array(*[F.lit(float(x)) for x in far]))
+            ),
+        )
+        if i % 8 == 0:
+            state = state.localCheckpoint(eager=True)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in s]) for i, s in enumerate(seeds)],
+        "cell int, centroid array<float>",
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = _assign_cells(vectors, cents, 1, id_col, vec_col)
         means = (
@@ -150,19 +188,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """Approximate (query_id, neighbor_id, cos) top-k: search only the
     query's ``nprobe`` nearest IVF cells. ``centroids`` (cell, centroid)
-    overrides the default deterministic first-n quantizer — pass
-    :func:`kmeans_centroids` output for the production-quality cells."""
+    overrides the quantizer entirely; otherwise ``quantizer`` picks
+    between :func:`kmeans_centroids` (default — production-quality
+    cells) and ``"firstn"`` (first ``n_cells`` vectors by id, the
+    trivially-SQL-replayable oracle path — weaker cells on clustered
+    corpora)."""
     if centroids is None:
-        centroids = (
-            corpus.orderBy(id_col).limit(n_cells)
-            .select(
-                (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
-                F.col(vec_col).alias("centroid"),
-            )
-        )
+        if quantizer == "kmeans":
+            centroids = kmeans_centroids(corpus, k=n_cells, id_col=id_col, vec_col=vec_col)
+        else:
+            centroids = _firstn_centroids(corpus, n_cells, id_col, vec_col)
     # materialized once (k rows): both _assign_cells passes broadcast it;
     # localCheckpoint (not persist) so the blocks release with the result
     centroids = centroids.localCheckpoint(eager=True)
@@ -188,6 +227,7 @@ def cosine_near_dup_pairs(
     n_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
 
@@ -207,13 +247,10 @@ def cosine_near_dup_pairs(
         b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
         pairs = a.crossJoin(b)
     else:
-        centroids = (
-            vectors.orderBy(id_col).limit(n_cells)
-            .select(
-                (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
-                F.col(vec_col).alias("centroid"),
-            )
-        )
+        if quantizer == "kmeans":
+            centroids = kmeans_centroids(vectors, k=n_cells, id_col=id_col, vec_col=vec_col)
+        else:
+            centroids = _firstn_centroids(vectors, n_cells, id_col, vec_col)
         # materialize once — the self-join below would otherwise run the
         # scoring+argmax pipeline for both sides
         assigned = _assign_cells(vectors, centroids, 1, id_col, vec_col).localCheckpoint(
@@ -235,6 +272,7 @@ def embedding_dedup_clusters(
     n_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """Embedding-space dedup: (vec_id, cluster_id, is_canonical) — the
     :func:`~graphblast_spark.functions.dedup.near_duplicate_clusters`
@@ -247,7 +285,7 @@ def embedding_dedup_clusters(
     from graphblast_spark.matrix import Graph
 
     pairs = cosine_near_dup_pairs(
-        vectors, threshold, n_cells, id_col, vec_col
+        vectors, threshold, n_cells, id_col, vec_col, quantizer=quantizer
     ).localCheckpoint(eager=True)
     if not pairs.head(1):  # no near-dups anywhere: all singletons
         return vectors.select(

@@ -355,3 +355,32 @@ def test_arrow_kernel_agrees_with_join_vecmat(spark):
     with pytest.raises(ValueError):
         vxm_arrow(u, g, "LogicalOrAnd")  # outside the dense-regime set
     g.unpersist()
+
+
+def test_ivf_default_kmeans_recall_beats_firstn(spark):
+    """Default quantizer is kmeans; on an id-clustered corpus (first n
+    ids all in one cluster — the adversarial case for first-n cells)
+    its recall vs brute force must be at least the first-n path's."""
+    from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    means = np.eye(4, 8) * 10.0
+    rows = []
+    for c in range(4):
+        for j in range(20):
+            v = (means[c] + 0.1 * rng.normal(size=8)).astype("float32")
+            rows.append((c * 100 + j, [float(x) for x in v]))  # ids blocked by cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.orderBy("vec_id").limit(12)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(df, qs, k=3).collect()}
+
+    def recall(quantizer):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(df, qs, k=3, n_cells=4, nprobe=1, quantizer=quantizer).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_kmeans, r_firstn = recall("kmeans"), recall("firstn")
+    assert r_kmeans >= r_firstn
+    assert r_kmeans > 0.95  # well-separated clusters: kmeans cells ≈ exact
