@@ -218,3 +218,48 @@ def personalized_pagerank(
     if not caller_prep:
         w_edges.unpersist()
     return ranks
+
+
+def remap_ranks(
+    prev_ranks: DataFrame, old_url_map: DataFrame, new_url_map: DataFrame
+) -> DataFrame:
+    """Carry (id, val) ranks across a corpus re-distillation: dense ids
+    are assigned in url sort order (sources/distill.py), so an append
+    of new urls SHIFTS ids — the stable key is the url. Join old ids →
+    url → new ids; urls that left the corpus drop, new urls are absent
+    (the warm-start init fills them with 1/n)."""
+    old = old_url_map.select("url", F.col("id").alias("old_id"))
+    new = new_url_map.select("url", "id")
+    return (
+        prev_ranks.select(F.col("id").alias("old_id"), "val")
+        .join(old, "old_id")
+        .join(new, "url")
+        .select("id", "val")
+    )
+
+
+def incremental_pagerank(
+    g: Graph,
+    prev_ranks: DataFrame,
+    alpha: float = 0.85,
+    eps: float = 1e-8,
+    desc: Descriptor = DEFAULT_DESC.with_(max_niter=100),
+    runner: SuperstepRunner | None = None,
+    w_edges: DataFrame | None = None,
+) -> DataFrame:
+    """PageRank after an edge-log append, warm-started from the previous
+    run's scores: vertices present in ``prev_ranks`` start there, new
+    vertices start at 1/n. The iteration map is an affine contraction
+    with a unique fixed point, so the warm run converges to EXACTLY the
+    scores a cold run computes — just in a few supersteps instead of
+    tens when the append perturbed the graph locally (measured in
+    BENCH.md: the incremental-analytics path of the streaming gate,
+    streaming/ingest.py edge_log_graph → this)."""
+    init = (
+        g.vertices.join(prev_ranks.select("id", "val"), on="id", how="left")
+        .select("id", F.coalesce("val", F.lit(1.0 / g.n)).alias("val"))
+    )
+    return pagerank(
+        g, alpha=alpha, eps=eps, desc=desc, runner=runner,
+        w_edges=w_edges, init_ranks=init,
+    )

@@ -16,7 +16,7 @@ from graphblast_spark.streaming.events import (
     windowed_event_stats_batch,
 )
 from graphblast_spark.streaming.dedup import dedup_gate_batch, streaming_dedup_gate
-from graphblast_spark.streaming.ingest import stream_pages, streaming_distill
+from graphblast_spark.streaming.ingest import edge_log_graph, stream_pages, streaming_distill
 from graphblast_spark.streaming.sessions import sessionize_batch, sessionize_stream
 from graphblast_spark.streaming.state import running_user_stats, running_user_stats_batch
 
@@ -24,6 +24,7 @@ __all__ = [
     "stream_events",
     "windowed_event_stats",
     "windowed_event_stats_batch",
+    "edge_log_graph",
     "stream_pages",
     "streaming_distill",
     "dedup_gate_batch",

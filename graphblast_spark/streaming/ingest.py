@@ -60,3 +60,34 @@ def streaming_distill(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def edge_log_graph(spark: SparkSession, edges_log: str, num_partitions: int | None = None):
+    """Close the streaming loop: (append-only url edge log) → (Graph,
+    url_map). The vertex universe is every url OBSERVED in the log
+    (sources or targets — dangling targets keep vertices, PR teleport
+    semantics); ids are dense in url sort order via the same two-pass
+    rank the batch distiller uses, so a rebuild after another append
+    yields a superset corpus whose ranks warm-start via
+    ``algorithms.pagerank.remap_ranks`` (url is the stable key).
+    Cross-batch duplicate pairs from the idempotent append log are
+    dropped inside ``Graph.build`` (they share src, so the dedup rides
+    the layout shuffle)."""
+    from pyspark.sql import functions as F
+
+    from graphblast_spark.matrix import Graph
+    from graphblast_spark.sources.distill import assign_dense_ids
+
+    log = spark.read.parquet(edges_log)
+    urls = log.select(F.col("src_url").alias("url")).unionByName(
+        log.select(F.col("dst_url").alias("url"))
+    )
+    url_map = assign_dense_ids(urls, num_partitions).persist()
+    src_m = url_map.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
+    dst_m = url_map.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
+    edges = (
+        log.join(src_m, "src_url").join(dst_m, "dst_url")
+        .select("src", "dst", F.lit(1.0).alias("val"))
+    )
+    g = Graph.build(edges, vertices=url_map.select("id"), num_partitions=num_partitions)
+    return g, url_map

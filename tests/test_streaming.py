@@ -288,3 +288,81 @@ def test_sessionize_state_recovers_across_query_restart(spark, tmp):
         for r in batch if r.session_id < max(b.session_id for b in batch)
     }
     assert got == closed
+
+
+def test_incremental_pagerank_after_streamed_append(spark, tmp):
+    """The full incremental-analytics loop: stream a page corpus → edge
+    log → Graph → converge PageRank; then a RE-CRAWL batch (3 pages
+    with changed outlinks) appends to the same log, the graph rebuilds,
+    ranks carry over through the stable url key, and the warm-started
+    run must reach the same fixpoint (allclose 1e-6 vs a cold run on
+    the updated graph) in measurably fewer supersteps.
+
+    Physics of the saving (so the assertions stay honest): matching at
+    1e-6 per vertex forces eps ≈ 1e-12 on the reference's Σ(Δp)² < eps
+    criterion, and the error contracts ~4-5× per superstep — so the
+    superstep saving equals the decades between the COLD start's
+    initial error and the WARM start's (the perturbation the append
+    caused), not a fixed small constant. Measured here: a 3-page
+    re-crawl starts the warm run ~2 decades lower (first-superstep
+    error ~5e-5 vs cold ~4e-3) and saves ~30% of the supersteps; a
+    single-edge change would converge in ~1-3. Corpus GROWTH is the
+    regime where warm-start saves nothing: new vertices rescale every
+    score via the 1/n teleport (a 20% growth re-runs cold; the remap
+    still applies, only the superstep saving vanishes)."""
+    import json
+    from graphblast_spark.algorithms.pagerank import (
+        incremental_pagerank,
+        pagerank,
+        remap_ranks,
+    )
+    from graphblast_spark.runtime.superstep import SuperstepRunner
+    from graphblast_spark.streaming.ingest import edge_log_graph
+
+    page_idx = F.substring("url", -6, 6).cast("int")
+    pages_dir = os.path.join(tmp, "pages_in")
+    log_dir = os.path.join(tmp, "edges_log")
+    ck = os.path.join(tmp, "ck_inc")
+    eps = 1e-12  # both runs deep inside the 1e-6 comparison band
+
+    # initial crawl: 300 pages arrive and are distilled incrementally
+    generate_pages(spark, 300, seed=3).write.mode("append").parquet(pages_dir)
+    streaming_distill(stream_pages(spark, pages_dir), log_dir, ck).awaitTermination(180)
+    g1, map1 = edge_log_graph(spark, log_dir)
+    ranks1 = pagerank(g1, eps=eps).localCheckpoint(eager=True)
+
+    # re-crawl: pages 0-2 return with changed outlinks; the SAME
+    # streaming checkpoint picks up only the new files (append-only log)
+    generate_pages(spark, 300, seed=99).filter(page_idx < 3).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    streaming_distill(stream_pages(spark, pages_dir), log_dir, ck).awaitTermination(180)
+    g2, map2 = edge_log_graph(spark, log_dir)
+    assert g2.nvals > g1.nvals  # the re-crawl added edges
+    assert g2.n == g1.n         # same url universe
+
+    def _errs(run_dir):
+        with open(os.path.join(run_dir, "metrics.jsonl")) as fh:
+            return [json.loads(ln)["scalars"]["err"] for ln in fh]
+
+    run_dir = os.path.join(tmp, "run_warm")
+    warm = incremental_pagerank(
+        g2, remap_ranks(ranks1, map1, map2), eps=eps,
+        runner=SuperstepRunner(spark, run_dir=run_dir),
+    )
+    warm_errs = _errs(run_dir)
+
+    cold_dir = os.path.join(tmp, "run_cold")
+    cold = pagerank(g2, eps=eps, runner=SuperstepRunner(spark, run_dir=cold_dir))
+    cold_errs = _errs(cold_dir)
+
+    w = {r["id"]: r["val"] for r in warm.collect()}
+    c = {r["id"]: r["val"] for r in cold.collect()}
+    assert set(w) == set(c)
+    assert max(abs(w[i] - c[i]) for i in w) < 1e-6
+    # the warm start lands orders of magnitude nearer the fixpoint
+    # (measured: 5.1e-5 vs 4.3e-3 — 85×)...
+    assert warm_errs[0] < cold_errs[0] / 50, (warm_errs[0], cold_errs[0])
+    # ...and converts that into strictly fewer supersteps at equal eps
+    assert len(warm_errs) + 3 <= len(cold_errs), (len(warm_errs), len(cold_errs))
+    g1.unpersist(); g2.unpersist(); map1.unpersist(); map2.unpersist()
