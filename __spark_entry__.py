@@ -667,6 +667,52 @@ def q_d_contamination(spark, sf_dir):
     ).select("doc_id", "n_grams", "n_contaminated", "contaminated_frac")
 
 
+def _synth_order_urls(spark, sf_dir):
+    """Deterministic messy urls from the orders table — mixed-case
+    host, default port, tracking + unsorted params, fragment — so the
+    url canonicalizer has real work and DuckDB can build the identical
+    input (no url column exists in the driver's tables)."""
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.concat(
+            F.lit("HTTP://Site"), (F.col("o_custkey") % 37).cast("string"),
+            F.lit(".Example.COM:80/Order/"), F.col("o_orderkey").cast("string"),
+            F.lit("?utm_source=x&b="), (F.col("o_orderkey") % 5).cast("string"),
+            F.lit("&a=1#frag"),
+        ).alias("url"),
+    )
+
+
+def q_d_url_normalize(spark, sf_dir):
+    from graphblast_spark.functions.urls import normalize_url, url_host, url_site
+
+    u = _synth_order_urls(spark, sf_dir)
+    return u.select(
+        "order_id",
+        normalize_url(F.col("url")).alias("url_norm"),
+        url_host(F.col("url")).alias("host"),
+        url_site(F.col("url")).alias("site"),
+    )
+
+
+def q_d_domain_graph(spark, sf_dir):
+    from graphblast_spark.functions.urls import domain_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.concat(
+            F.lit("https://s"), (F.col("l_suppkey") % 23).cast("string"),
+            F.lit(".Shop.Example:443/x"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("https://p"), (F.col("l_partkey") % 31).cast("string"),
+            F.lit(".cdn.example/y/"), F.col("l_orderkey").cast("string"),
+        ).alias("dst_url"),
+    )
+    return domain_edges(li, by="host").select(
+        "src_domain", "dst_domain", F.col("val").alias("n_links")
+    )
+
+
 def q_d_span_dedup(spark, sf_dir):
     """Verbatim-span dedup tier (Lee et al. 2022): per-doc duplicated-
     span profile over disjoint 3-token windows (the synthetic docs are
@@ -828,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_hash_split": q_d_hash_split,
         "d_stratified": q_d_stratified,
         "d_contamination": q_d_contamination,
+        "d_url_normalize": q_d_url_normalize,
+        "d_domain_graph": q_d_domain_graph,
         "d_span_dedup": q_d_span_dedup,
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_lsh": q_d_minhash_lsh,
@@ -1816,6 +1864,71 @@ def oracle_sql() -> dict[str, str]:
                          THEN c * length(gram) / CAST(n_chars AS DOUBLE)
                          ELSE 0.0 END, 6) AS top_ngram_char_frac
             FROM r WHERE rn = 1""",
+        # replay of functions/urls.py normalize_url rules 1-4 + host/site
+        # extraction over the same orders-synthesized messy urls
+        "d_url_normalize": r"""
+            WITH u0 AS (
+              SELECT o_orderkey AS order_id,
+                     'HTTP://Site' || (o_custkey % 37) || '.Example.COM:80/Order/'
+                       || o_orderkey || '?utm_source=x&b=' || (o_orderkey % 5)
+                       || '&a=1#frag' AS url
+              FROM orders
+            ),
+            s1 AS (SELECT order_id, url, regexp_replace(url, '#.*$', '') AS u FROM u0),
+            s2 AS (SELECT order_id, url, u,
+                          regexp_extract(u, '^([^/?]*//[^/?]*)', 1) AS pre0 FROM s1),
+            s3 AS (SELECT order_id, url, u, lower(pre0) AS prel,
+                          substring(u, length(pre0) + 1) AS rest FROM s2),
+            s4 AS (SELECT order_id, url, rest,
+                          CASE WHEN starts_with(prel, 'http://')
+                               THEN regexp_replace(prel, ':80$', '')
+                               WHEN starts_with(prel, 'https://')
+                               THEN regexp_replace(prel, ':443$', '')
+                               ELSE prel END AS pre
+                   FROM s3),
+            s5 AS (SELECT order_id, url, pre,
+                          regexp_replace(rest, '\?.*$', '') AS path,
+                          CASE WHEN contains(rest, '?')
+                               THEN regexp_replace(rest, '^[^?]*\?', '')
+                               ELSE '' END AS q
+                   FROM s4),
+            s6 AS (SELECT order_id, url, pre, path,
+                          array_to_string(list_sort(list_filter(string_split(q, '&'),
+                            p -> p <> '' AND NOT regexp_matches(p,
+                              '^(utm_[a-z]*|fbclid|gclid|msclkid|ref)='))), '&') AS q2
+                   FROM s5),
+            h AS (SELECT order_id, url, pre, path, q2,
+                         regexp_replace(regexp_replace(
+                           lower(regexp_extract(url, '^[^/?]*//([^/?]*)', 1)),
+                           '^.*@', ''), ':[0-9]+$', '') AS host
+                  FROM s6)
+            SELECT order_id,
+                   pre || path || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS url_norm,
+                   host,
+                   CASE WHEN len(string_split(host, '.')) >= 2
+                        THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                        ELSE host END AS site
+            FROM h""",
+        # replay of functions/urls.py domain_edges(by="host") over the
+        # lineitem-synthesized url pairs
+        "d_domain_graph": r"""
+            WITH p AS (
+              SELECT 'https://s' || (l_suppkey % 23) || '.Shop.Example:443/x' AS src_url,
+                     'https://p' || (l_partkey % 31) || '.cdn.example/y/'
+                       || l_orderkey AS dst_url
+              FROM lineitem
+            ),
+            d AS (SELECT
+                    regexp_replace(regexp_replace(
+                      lower(regexp_extract(src_url, '^[^/?]*//([^/?]*)', 1)),
+                      '^.*@', ''), ':[0-9]+$', '') AS src_domain,
+                    regexp_replace(regexp_replace(
+                      lower(regexp_extract(dst_url, '^[^/?]*//([^/?]*)', 1)),
+                      '^.*@', ''), ':[0-9]+$', '') AS dst_domain
+                  FROM p)
+            SELECT src_domain, dst_domain, CAST(count(*) AS DOUBLE) AS n_links
+            FROM d WHERE src_domain <> dst_domain
+            GROUP BY src_domain, dst_domain""",
         # replay of span_dedup_stats over disjoint 3-token windows:
         # corpus-wide md5-count per span, char-weighted per-doc dup
         # fraction (functions/dedup.py span_dedup_stats)

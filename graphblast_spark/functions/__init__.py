@@ -23,6 +23,12 @@ from graphblast_spark.functions.sampling import (
     stratified_sample,
 )
 from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
+from graphblast_spark.functions.urls import (
+    domain_edges,
+    normalize_url,
+    url_host,
+    url_site,
+)
 
 __all__ = [
     "add_fingerprint", "add_lang_id", "add_quality", "add_token_count",
@@ -32,4 +38,5 @@ __all__ = [
     "paragraph_spans", "token_window_spans", "duplicate_spans", "span_dedup_stats",
     "hash_split", "ngram_contamination", "stratified_sample",
     "brute_force_topk", "ivf_topk",
+    "normalize_url", "url_host", "url_site", "domain_edges",
 ]
