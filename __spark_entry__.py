@@ -726,6 +726,27 @@ def q_d_span_dedup(spark, sf_dir):
     )
 
 
+def q_d_clean_corpus(spark, sf_dir):
+    """The composed curation pipeline (functions/pipeline.py) end to
+    end: docs 5+ are the corpus, docs 0-4 the benchmark to
+    decontaminate against; near-dup tier = simhash (the SQL-replayable
+    composition — the LSH+CC tier is pinned by pytest)."""
+    from graphblast_spark.functions.pipeline import clean_corpus
+
+    docs = _docs(spark, sf_dir)
+    return clean_corpus(
+        docs.filter(F.col("doc_id") >= 5),
+        eval_docs=docs.filter(F.col("doc_id") < 5),
+        keep_langs=("en", "und"),
+        min_quality=0.5,
+        max_dup_2gram_frac=0.5,
+        near_dup="simhash",
+        span_tokens=3,
+        max_dup_span_frac=0.5,
+        contamination_n=5,
+    ).select("doc_id", "keep", "reject_reason", "split")
+
+
 def q_d_exact_dedup(spark, sf_dir):
     return exact_duplicate_groups(_docs(spark, sf_dir)).select(
         "fp_md5", "n_dups", "canonical_id"
@@ -877,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_url_normalize": q_d_url_normalize,
         "d_domain_graph": q_d_domain_graph,
         "d_span_dedup": q_d_span_dedup,
+        "d_clean_corpus": q_d_clean_corpus,
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_lsh": q_d_minhash_lsh,
         "d_jaccard": q_d_jaccard,
@@ -972,6 +994,143 @@ th AS (
 )
 SELECT doc_id, ({votes}) AS simhash FROM th
 """
+
+
+def _sql_clean_corpus() -> str:
+    """Replay of functions/pipeline.py clean_corpus with the contract
+    config (docs 5+ vs eval docs 0-4, simhash near-dup tier): the full
+    stage chain — lang/quality/char-weighted-repetition signals, then
+    exact → simhash → span dedup and 5-gram decontamination each over
+    the previous stage's survivors — as one CTE cascade."""
+    votes = "\n          + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(60)
+    )
+    return rf"""
+    WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5),
+    tk AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM docs0
+    ),
+    sig AS (
+      SELECT doc_id, text, t,
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+        CASE WHEN len(t) > 0
+             THEN len(list_filter(t, x -> x IN ('the','and','of','to','is')))
+                  / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+        len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS en,
+        len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS de,
+        len(list_filter(t, x -> x IN ('le','la','et','les','est'))) AS fr,
+        list_sort(CASE WHEN len(t) >= 2 THEN list_transform(
+          generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g2
+      FROM tk
+    ),
+    sig2 AS (
+      SELECT doc_id, text, t, g2,
+        round(least(len(t) / CAST(100.0 AS DOUBLE), 1.0) * 0.4
+              + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
+              + least(stop_ratio * 4, 1.0) * 0.3, 6) AS quality,
+        CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+             WHEN de >= fr AND de > 0 THEN 'de'
+             WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred,
+        list_filter(list_transform(generate_series(1, len(g2)),
+          i -> CASE WHEN (i > 1 AND g2[i] = g2[i-1]) OR (i < len(g2) AND g2[i] = g2[i+1])
+               THEN g2[i] END), x -> x IS NOT NULL) AS d2
+      FROM sig
+    ),
+    r1 AS (
+      SELECT doc_id, text, t,
+        CASE WHEN lang_pred NOT IN ('en','und') THEN 'lang'
+             WHEN quality < 0.5 THEN 'quality'
+             WHEN (CASE WHEN coalesce(list_sum(list_transform(g2, x -> length(x))), 0) > 0
+                   THEN round(coalesce(list_sum(list_transform(d2, x -> length(x))), 0)
+                        / CAST(list_sum(list_transform(g2, x -> length(x))) AS DOUBLE), 6)
+                   ELSE 0.0 END) > 0.5 THEN 'repetition'
+        END AS reason
+      FROM sig2
+    ),
+    ex AS (SELECT doc_id, md5(text) AS fp FROM r1 WHERE reason IS NULL),
+    exc AS (SELECT fp, min(doc_id) AS c FROM ex GROUP BY fp),
+    r2 AS (
+      SELECT r1.doc_id, r1.text, r1.t,
+        coalesce(r1.reason, CASE WHEN ex.doc_id IS NOT NULL AND ex.doc_id <> exc.c
+                            THEN 'exact_dup' END) AS reason
+      FROM r1 LEFT JOIN ex ON r1.doc_id = ex.doc_id LEFT JOIN exc ON ex.fp = exc.fp
+    ),
+    th AS (
+      SELECT doc_id, list_transform(list_distinct(t),
+             x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+      FROM r2 WHERE reason IS NULL
+    ),
+    sh AS (SELECT doc_id, ({votes}) AS simhash FROM th),
+    shc AS (SELECT simhash, min(doc_id) AS c FROM sh GROUP BY simhash),
+    r3 AS (
+      SELECT r2.doc_id, r2.text, r2.t,
+        coalesce(r2.reason, CASE WHEN sh.doc_id IS NOT NULL AND sh.doc_id <> shc.c
+                            THEN 'near_dup' END) AS reason
+      FROM r2 LEFT JOIN sh ON r2.doc_id = sh.doc_id
+              LEFT JOIN shc ON sh.simhash = shc.simhash
+    ),
+    w AS (
+      SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_transform(
+               generate_series(1, len(t)-2, 3), i -> array_to_string(t[i:i+2], ' '))
+             WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END AS ws
+      FROM r3 WHERE reason IS NULL
+    ),
+    occ0 AS (SELECT doc_id, unnest(ws) AS span FROM w),
+    occ AS (SELECT doc_id, md5(span) AS h, length(span) AS c FROM occ0),
+    cnt AS (SELECT h, count(*) AS n FROM occ GROUP BY h),
+    pd AS (
+      SELECT occ.doc_id AS doc_id,
+             sum(c) AS tc, sum(CASE WHEN n >= 2 THEN c ELSE 0 END) AS dc
+      FROM occ JOIN cnt ON occ.h = cnt.h GROUP BY occ.doc_id
+    ),
+    r4 AS (
+      SELECT r3.doc_id, r3.t,
+        coalesce(r3.reason, CASE WHEN pd.doc_id IS NOT NULL AND
+          round(CASE WHEN coalesce(pd.tc, 0) > 0
+                THEN pd.dc / CAST(pd.tc AS DOUBLE) ELSE 0.0 END, 6) > 0.5
+          THEN 'span_dup' END) AS reason
+      FROM r3 LEFT JOIN pd ON r3.doc_id = pd.doc_id
+    ),
+    ev AS (
+      SELECT DISTINCT gram FROM (
+        SELECT unnest(CASE WHEN len(t) >= 5 THEN list_transform(
+          generate_series(1, len(t)-4), i -> array_to_string(t[i:i+4], ' '))
+          ELSE [] END) AS gram
+        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+              FROM documents WHERE doc_id < 5)
+      )
+    ),
+    dg AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN list_transform(
+        generate_series(1, len(t)-4), i -> array_to_string(t[i:i+4], ' '))
+        ELSE [] END) AS gram
+      FROM r4 WHERE reason IS NULL
+    ),
+    hit AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev ON dg.gram = ev.gram),
+    r5 AS (
+      SELECT r4.doc_id,
+        coalesce(r4.reason,
+                 CASE WHEN hit.doc_id IS NOT NULL THEN 'contaminated' END) AS reason
+      FROM r4 LEFT JOIN hit ON r4.doc_id = hit.doc_id
+    )
+    SELECT doc_id,
+           reason IS NULL AS keep,
+           reason AS reject_reason,
+           CASE WHEN reason IS NULL THEN
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 1000000 < 900000 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 1000000 < 950000 THEN 'val'
+                  ELSE 'test' END
+           END AS split
+    FROM r5"""
 
 
 _SQL_QUALITY = r"""
@@ -1929,6 +2088,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_domain, dst_domain, CAST(count(*) AS DOUBLE) AS n_links
             FROM d WHERE src_domain <> dst_domain
             GROUP BY src_domain, dst_domain""",
+        # the composed curation pipeline (chained-CTE replay of every
+        # stage over the previous stage's survivors)
+        "d_clean_corpus": _sql_clean_corpus(),
         # replay of span_dedup_stats over disjoint 3-token windows:
         # corpus-wide md5-count per span, char-weighted per-doc dup
         # fraction (functions/dedup.py span_dedup_stats)

@@ -23,6 +23,7 @@ from graphblast_spark.functions.sampling import (
     stratified_sample,
 )
 from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
+from graphblast_spark.functions.pipeline import clean_corpus, retention_stats
 from graphblast_spark.functions.urls import (
     domain_edges,
     normalize_url,
@@ -39,4 +40,5 @@ __all__ = [
     "hash_split", "ngram_contamination", "stratified_sample",
     "brute_force_topk", "ivf_topk",
     "normalize_url", "url_host", "url_site", "domain_edges",
+    "clean_corpus", "retention_stats",
 ]
