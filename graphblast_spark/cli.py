@@ -75,7 +75,8 @@ def main(argv=None) -> int:
     p.add_argument("algorithm",
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
-                            "kcore", "closeness", "hits", "bc", "ppr"])
+                            "kcore", "closeness", "hits", "bc", "ppr",
+                            "clean-corpus", "domain-pr"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,val])")
     p.add_argument("--pages", help="pages-schema parquet (north-rule input)")
     p.add_argument("--fixture", help="named reference fixture graph")
@@ -112,6 +113,18 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    # clean-corpus / domain-pr (training-data pipeline surface)
+    p.add_argument("--docs", help="clean-corpus: documents parquet (doc_id, text)")
+    p.add_argument("--eval-docs", help="clean-corpus: benchmark parquet to "
+                   "decontaminate against")
+    p.add_argument("--keep-langs", default="en",
+                   help="clean-corpus: comma-separated lang_pred whitelist")
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--near-dup", default="clusters",
+                   choices=["clusters", "simhash", "none"])
+    p.add_argument("--span-tokens", type=int, default=20)
+    p.add_argument("--url-edges", help="domain-pr: parquet of (src_url, dst_url)")
+    p.add_argument("--domain-by", default="host", choices=["host", "site"])
     args = p.parse_args(argv)
 
     from graphblast_spark import get_spark
@@ -128,6 +141,76 @@ def main(argv=None) -> int:
         spark, run_dir=args.run_dir,
         checkpoint_every=args.checkpoint_every, name=args.algorithm,
     )
+
+    if args.algorithm == "clean-corpus":
+        from graphblast_spark.functions.pipeline import clean_corpus, retention_stats
+
+        t0 = time.time()
+        docs = spark.read.parquet(args.docs)
+        ev = spark.read.parquet(args.eval_docs) if args.eval_docs else None
+        out = clean_corpus(
+            docs, eval_docs=ev,
+            keep_langs=tuple(x for x in args.keep_langs.split(",") if x),
+            min_quality=args.min_quality,
+            near_dup=None if args.near_dup == "none" else args.near_dup,
+            span_tokens=args.span_tokens,
+        )
+        n_out = out.count()
+        _write(out, args, "clean_corpus")
+        stats = {r["stage"]: r["n"] for r in retention_stats(out).collect()}
+        print(json.dumps({
+            "algorithm": "clean-corpus", "rows_out": n_out,
+            "retention": stats, "sec": round(time.time() - t0, 3),
+        }))
+        return 0
+
+    if args.algorithm == "domain-pr":
+        from pyspark.sql import functions as F
+
+        from graphblast_spark.functions.urls import domain_edges
+        from graphblast_spark.matrix import Graph
+        from graphblast_spark.sources.distill import assign_dense_ids
+
+        t0 = time.time()
+        if args.url_edges:
+            pairs = spark.read.parquet(args.url_edges)
+        elif args.pages:
+            from graphblast_spark.sources.distill import extract_columns
+            from graphblast_spark.sources.pages import read_pages
+
+            pairs = (
+                extract_columns(read_pages(spark, args.pages))
+                .select(F.col("url").alias("src_url"),
+                        F.explode("outlinks").alias("dst_url"))
+            )
+        else:
+            p.error("domain-pr needs --url-edges or --pages")
+        de = domain_edges(pairs, by=args.domain_by).localCheckpoint(eager=True)
+        doms = de.select(F.col("src_domain").alias("url")).unionByName(
+            de.select(F.col("dst_domain").alias("url"))
+        )
+        id_map = assign_dense_ids(doms).persist()
+        src_m = id_map.select(F.col("url").alias("src_domain"), F.col("id").alias("src"))
+        dst_m = id_map.select(F.col("url").alias("dst_domain"), F.col("id").alias("dst"))
+        g = Graph.build(
+            de.join(src_m, "src_domain").join(dst_m, "dst_domain")
+            .select("src", "dst", "val"),
+            vertices=id_map.select("id"),
+        )
+        from graphblast_spark import algorithms as A
+
+        ranks = A.pagerank(g, alpha=args.alpha, eps=args.eps,
+                           fixed_iters=args.niter, runner=runner)
+        out = ranks.join(id_map, "id").select(
+            F.col("url").alias("domain"), F.col("val").alias("pagerank")
+        )
+        n_out = out.count()
+        _write(out, args, "domain_pr")
+        print(json.dumps({
+            "algorithm": "domain-pr", "n_domains": g.n, "n_domain_edges": g.nvals,
+            "rows_out": n_out, "sec": round(time.time() - t0, 3),
+        }))
+        return 0
 
     t0 = time.time()
     g = _build_graph(spark, args)

@@ -89,3 +89,35 @@ def test_cli_new_algorithms_smoke(spark, capsys, tmp_path):
         assert rc == 0, argv
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["rows_out"] > 0, argv
+
+
+def test_cli_clean_corpus(spark, capsys, tmp_path):
+    docs_in = str(tmp_path / "docs_in")
+    en = "the cat and the dog of the house went to the market and it is fine "
+    spark.createDataFrame(
+        [(1, en + "unique one"), (2, en + "unique one"), (3, "der die und das ist " * 4)],
+        "doc_id long, text string",
+    ).write.parquet(docs_in)
+    out = str(tmp_path / "verdicts")
+    rc = main(["clean-corpus", "--docs", docs_in, "--near-dup", "none",
+               "--min-quality", "0.0", "--output", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_out"] == 3
+    assert stats["retention"].get("lang") == 1
+    assert stats["retention"].get("exact_dup") == 1
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["keep"] and not got[2]["keep"] and not got[3]["keep"]
+
+
+def test_cli_domain_pagerank(spark, capsys, tmp_path):
+    pairs_in = str(tmp_path / "pairs_in")
+    spark.createDataFrame(
+        [(f"http://h{i % 4}.ex.com/{i}", f"http://h{(i + 1) % 4}.ex.com/x") for i in range(20)],
+        "src_url string, dst_url string",
+    ).write.parquet(pairs_in)
+    rc = main(["domain-pr", "--url-edges", pairs_in, "--niter", "5"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(lines[-1])
+    assert stats["n_domains"] == 4 and stats["rows_out"] == 4
