@@ -89,3 +89,31 @@ def test_vecmat_single_aggregation_exchange_budget(spark):
               desc=Descriptor(mxv_mode=MxvMode.PULLONLY))
     out.collect()
     assert count_exchanges(out) <= 3, count_exchanges(out)
+
+
+def test_domain_edges_plan_single_aggregate_no_join(spark):
+    """The domain rollup must be a pure projection + one hash aggregate
+    over the pair table — no join, no window, no cartesian."""
+    from graphblast_spark.functions.urls import domain_edges
+
+    pairs = spark.createDataFrame(
+        [("http://a.x.com/1", "http://b.y.com/2")], "src_url string, dst_url string"
+    )
+    plan = domain_edges(pairs)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "CartesianProduct", "Window", "PythonUDF"):
+        assert bad not in plan, f"{bad} in domain_edges plan:\n{plan}"
+
+
+def test_clean_corpus_plan_no_cartesian_no_row_udf(spark):
+    """The composed pipeline stays JVM-side: joins are hash joins on
+    short keys — never a cartesian product or a per-row Python UDF."""
+    from graphblast_spark.functions.pipeline import clean_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"the doc {i} and some words of it is here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(docs, near_dup="simhash", min_quality=0.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF operator
