@@ -695,6 +695,42 @@ def q_d_url_normalize(spark, sf_dir):
     )
 
 
+def q_d_pii_redact(spark, sf_dir):
+    """PII redaction (email → ipv4 → phone sequential passes) over
+    documents salted with deterministic synthetic PII — the driver's
+    documents are clean word-soup, so the contact block is derived from
+    doc_id (DuckDB rebuilds the identical input). Kind mix varies by
+    doc_id so the counts aren't constant: email on doc_id%3>0, phone on
+    even doc_id, one IPv4 always."""
+    from graphblast_spark.functions.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 > 0,
+            F.concat(
+                F.lit(" contact user"), s(d), F.lit("@mail"), s(d % 7),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit(" tel +1 (555) 01"), F.lpad(s(d % 100), 2, "0")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" host 10."), s(d % 4), F.lit(".0."), s(d % 250),
+    )
+    out = redact_pii(docs.select("doc_id", dirty.alias("text")))
+    return out.select(
+        "doc_id", "n_pii_email", "n_pii_ipv4", "n_pii_phone", "n_pii",
+        "text_redacted",
+    )
+
+
 def q_d_domain_graph(spark, sf_dir):
     from graphblast_spark.functions.urls import domain_edges
 
@@ -896,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_stratified": q_d_stratified,
         "d_contamination": q_d_contamination,
         "d_url_normalize": q_d_url_normalize,
+        "d_pii_redact": q_d_pii_redact,
         "d_domain_graph": q_d_domain_graph,
         "d_span_dedup": q_d_span_dedup,
         "d_clean_corpus": q_d_clean_corpus,
@@ -2070,6 +2107,55 @@ def oracle_sql() -> dict[str, str]:
             FROM h""",
         # replay of functions/urls.py domain_edges(by="host") over the
         # lineitem-synthesized url pairs
+        "d_pii_redact": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 > 0
+                          THEN ' contact user' || doc_id || '@mail'
+                               || (doc_id % 7) || '.example.com'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0
+                          THEN ' tel +1 (555) 01'
+                               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                          ELSE '' END
+                     || ' host 10.' || (doc_id % 4) || '.0.' || (doc_id % 250)
+                     AS t
+              FROM documents
+            ),
+            p1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM dirty
+            ),
+            p2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                     regexp_replace(t,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+              FROM p1
+            ),
+            p3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t,
+                       '\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phone,
+                     regexp_replace(t,
+                       '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS t
+              FROM p2
+            )
+            SELECT doc_id,
+                   CAST(n_email AS INTEGER) AS n_pii_email,
+                   CAST(n_ipv4 AS INTEGER) AS n_pii_ipv4,
+                   CAST(n_phone AS INTEGER) AS n_pii_phone,
+                   CAST(n_email + n_ipv4 + n_phone AS INTEGER) AS n_pii,
+                   t AS text_redacted
+            FROM p3
+        """,
         "d_domain_graph": r"""
             WITH p AS (
               SELECT 'https://s' || (l_suppkey % 23) || '.Shop.Example:443/x' AS src_url,
