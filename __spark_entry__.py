@@ -762,6 +762,26 @@ def q_d_span_dedup(spark, sf_dir):
     )
 
 
+def q_d_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate tier: paragraph spans recurring across
+    >= 25 DISTINCT documents are stripped and the doc rebuilt. The
+    synthetic docs are single-paragraph, so each gets a deterministic
+    footer paragraph: two shared variants (real boilerplate, ~167 docs
+    each) and a per-doc unique one (must be kept)."""
+    from graphblast_spark.functions.dedup import paragraph_spans, remove_boilerplate
+
+    d = F.col("doc_id")
+    footer = (
+        F.when(d % 3 == 0, F.lit("copyright example corp all rights reserved"))
+        .when(d % 3 == 1, F.lit("subscribe to our newsletter for updates"))
+        .otherwise(F.concat(F.lit("contact page "), d.cast("string")))
+    )
+    dirty = _docs(spark, sf_dir).select(
+        "doc_id", F.concat_ws("\n", F.col("text"), footer).alias("text")
+    )
+    return remove_boilerplate(dirty, min_docs=25, spans=paragraph_spans(dirty))
+
+
 def q_d_clean_corpus(spark, sf_dir):
     """The composed curation pipeline (functions/pipeline.py) end to
     end: docs 5+ are the corpus, docs 0-4 the benchmark to
@@ -935,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_pii_redact": q_d_pii_redact,
         "d_domain_graph": q_d_domain_graph,
         "d_span_dedup": q_d_span_dedup,
+        "d_boilerplate": q_d_boilerplate,
         "d_clean_corpus": q_d_clean_corpus,
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_lsh": q_d_minhash_lsh,
@@ -2206,6 +2227,54 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_dup, 0) AS n_dup_spans,
                    round(CASE WHEN coalesce(tc, 0) > 0
                          THEN dc / CAST(tc AS DOUBLE) ELSE 0.0 END, 6) AS dup_span_frac
+            FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
+        "d_boilerplate": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                            THEN 'copyright example corp all rights reserved'
+                          WHEN doc_id % 3 = 1
+                            THEN 'subscribe to our newsletter for updates'
+                          ELSE 'contact page ' || doc_id END AS t
+              FROM documents
+            ),
+            paras AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split_regex(t, '\n+'), p -> trim(p)),
+                       p -> length(p) >= 1) AS ps
+              FROM dirty
+            ),
+            occ AS (
+              SELECT doc_id, unnest(ps) AS span,
+                     unnest(generate_series(1, len(ps))) AS pos
+              FROM paras
+            ),
+            occ2 AS (
+              SELECT doc_id, pos, span, md5(span) AS h, length(span) AS c
+              FROM occ
+            ),
+            cnt AS (SELECT h, count(DISTINCT doc_id) AS nd FROM occ2 GROUP BY h),
+            fl AS (
+              SELECT o.doc_id, o.pos, o.span, o.c, (cnt.nd >= 25) AS b
+              FROM occ2 o JOIN cnt ON o.h = cnt.h
+            ),
+            pd AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN b THEN 1 ELSE 0 END) AS n_boiler,
+                     sum(c) AS tc,
+                     sum(CASE WHEN b THEN c ELSE 0 END) AS bc,
+                     string_agg(CASE WHEN NOT b THEN span END, ' ' ORDER BY pos) AS clean
+              FROM fl GROUP BY doc_id
+            )
+            SELECT d.doc_id AS doc_id,
+                   CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler_spans,
+                   round(CASE WHEN coalesce(tc, 0) > 0
+                         THEN bc / CAST(tc AS DOUBLE) ELSE 0.0 END, 6)
+                     AS boiler_char_frac,
+                   coalesce(clean, '') AS text_clean
             FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
         "d_exact_dedup": """
             SELECT md5(text) AS fp_md5, count(*) AS n_dups, min(doc_id) AS canonical_id

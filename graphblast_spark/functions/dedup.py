@@ -434,3 +434,107 @@ def span_dedup_stats(
             ).alias("dup_span_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (CCNet-style frequency tier). Span dedup above
+# flags spans duplicated ANYWHERE (>=2 occurrences, pairwise verbatim
+# copying); boilerplate is the complementary signal — spans that recur
+# across MANY DISTINCT documents (nav bars, cookie banners, footers:
+# the per-host furniture a Common-Crawl snapshot repeats millions of
+# times). CCNet dedups at paragraph granularity against corpus-wide
+# paragraph hashes; this is that tier with the threshold on distinct-
+# document support.
+#
+# Plan shape at 10^12 docs: spans are a narrow explode; the support
+# count is one groupBy(span_md5) with map-side partial aggregation
+# (the skewed key IS boilerplate — a nav bar repeated 10^8 times —
+# but partial_count absorbs it map-side: each task emits one
+# (md5, partial) row, so no single reducer sees the raw fan-in);
+# the re-join is a 16-byte-key hash join where Catalyst/AQE broadcasts
+# the (small) boilerplate set when it fits. Rebuild is a per-doc
+# collect_list bounded by document length — never corpus-bounded.
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_spans(spans: DataFrame, min_docs: int = 2) -> DataFrame:
+    """The boilerplate set: (span_md5, n_docs) for spans that occur in
+    ``min_docs`` or more DISTINCT documents. count_distinct (not
+    count): 50 copies inside one doc is repetition (text.py signals),
+    not boilerplate."""
+    return (
+        spans.select("doc_id", F.md5("span").alias("span_md5"))
+        .groupBy("span_md5")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 2,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **window_kwargs,
+) -> DataFrame:
+    """Strip boilerplate spans and rebuild each document:
+    (doc_id, n_spans, n_boiler_spans, boiler_char_frac, text_clean)
+    where ``text_clean`` is the doc's non-boilerplate spans re-joined
+    in original order (empty string when everything was boilerplate or
+    the doc had no spans).
+
+    ``spans`` defaults to disjoint :func:`token_window_spans`; pass
+    :func:`paragraph_spans` output for structured text. NOTE: with
+    token windows the rebuild drops the sub-window tail of the
+    document (same granularity loss as CCNet's paragraph hashing —
+    the unit of removal is the span, by design).
+    """
+    if spans is None:
+        spans = token_window_spans(docs, id_col, text_col, **window_kwargs)
+    boiler = boilerplate_spans(spans, min_docs=min_docs).select(
+        "span_md5", F.lit(True).alias("is_boiler")
+    )
+    occ = spans.select(
+        "doc_id", "pos", "span",
+        F.md5("span").alias("span_md5"), F.length("span").alias("c"),
+    )
+    flagged = occ.join(boiler, "span_md5", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler_spans"),
+        F.sum("c").alias("tot_c"),
+        F.sum(F.when(F.col("is_boiler"), F.col("c")).otherwise(0)).alias("boiler_c"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boiler"), F.struct("pos", "span")
+                        )
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_boiler_spans", F.lit(0)).alias("n_boiler_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("tot_c", F.lit(0)) > 0,
+                    F.col("boiler_c") / F.col("tot_c").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("boiler_char_frac"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
