@@ -56,6 +56,7 @@ from graphblast_spark.operators import ewise_add, ewise_mult, mxm, vxm
 from graphblast_spark.sources.tpch_graphs import (
     SQL_COPURCHASE_EDGES,
     SQL_COPURCHASE_VERTICES,
+    SQL_ORDSEQ_EDGES,
     SQL_PARTSUPP_EDGES,
     SQL_PARTSUPP_VERTICES,
     copurchase_edges,
@@ -212,6 +213,30 @@ def q_g_pagerank_dangling(spark, sf_dir):
 def q_g_cc(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     return connected_components(g).select("id", "component")
+
+
+def q_g_scc(spark, sf_dir):
+    """Strongly connected components (coloring/FW-BW-trim family) on
+    the directed order-sequence graph — the one fixture with real
+    cycle structure (444 SCCs incl. a 526-vertex core at sf0.01).
+    Oracle: transitive-closure recursive CTE, scc_id = min mutually-
+    reachable id."""
+    from graphblast_spark.algorithms.scc import strongly_connected_components
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return strongly_connected_components(g).select("id", "scc_id")
+
+
+def q_g_bowtie(spark, sf_dir):
+    """Broder bowtie decomposition of the directed order-sequence
+    graph: per-vertex CORE / IN / OUT / OTHER classification around
+    the largest SCC."""
+    from graphblast_spark.algorithms.scc import bowtie_decomposition
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return bowtie_decomposition(g).select("id", "component")
 
 
 def q_g_lp_majority(spark, sf_dir):
@@ -908,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank": q_g_pagerank,
         "g_pagerank_dangling": q_g_pagerank_dangling,
         "g_cc": q_g_cc,
+        "g_scc": q_g_scc,
+        "g_bowtie": q_g_bowtie,
         "g_lp_majority": q_g_lp_majority,
         "g_lp_min": q_g_lp_min,
         "g_bfs": q_g_bfs,
@@ -1604,6 +1631,47 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.iter, e.dst
             )
             SELECT id, round(val, 6) AS pagerank FROM pr WHERE iter = 10""",
+        "g_scc": f"""
+            WITH RECURSIVE oe AS ({SQL_ORDSEQ_EDGES}),
+            ov AS (SELECT DISTINCT id FROM (SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe)),
+            r(s, d) AS (
+              SELECT src, dst FROM oe
+              UNION
+              SELECT r.s, e.dst FROM r JOIN oe e ON r.d = e.src
+            )
+            SELECT v.id AS id,
+                   coalesce((SELECT min(r1.d)
+                             FROM r r1 JOIN r r2 ON r2.s = r1.d AND r2.d = r1.s
+                             WHERE r1.s = v.id AND r1.d < v.id), v.id) AS scc_id
+            FROM ov v""",
+        "g_bowtie": f"""
+            WITH RECURSIVE oe AS ({SQL_ORDSEQ_EDGES}),
+            ov AS (SELECT DISTINCT id FROM (SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe)),
+            r(s, d) AS (
+              SELECT src, dst FROM oe
+              UNION
+              SELECT r.s, e.dst FROM r JOIN oe e ON r.d = e.src
+            ),
+            scc AS (
+              SELECT v.id,
+                     coalesce((SELECT min(r1.d)
+                               FROM r r1 JOIN r r2 ON r2.s = r1.d AND r2.d = r1.s
+                               WHERE r1.s = v.id AND r1.d < v.id), v.id) AS scc_id
+              FROM ov v
+            ),
+            core AS (
+              SELECT scc_id FROM scc GROUP BY scc_id
+              ORDER BY count(*) DESC, scc_id LIMIT 1
+            ),
+            cv AS (SELECT id FROM scc WHERE scc_id = (SELECT scc_id FROM core))
+            SELECT s.id AS id,
+                   CASE WHEN s.scc_id = (SELECT scc_id FROM core) THEN 'CORE'
+                        WHEN EXISTS (SELECT 1 FROM r JOIN cv ON r.d = cv.id
+                                     WHERE r.s = s.id) THEN 'IN'
+                        WHEN EXISTS (SELECT 1 FROM r JOIN cv ON r.s = cv.id
+                                     WHERE r.d = s.id) THEN 'OUT'
+                        ELSE 'OTHER' END AS component
+            FROM scc s""",
         "g_cc": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},
             ea AS (

@@ -17,6 +17,7 @@ from graphblast_spark.algorithms.kcore import k_core
 from graphblast_spark.algorithms.linkpred import link_prediction_scores
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
+from graphblast_spark.algorithms.scc import bowtie_decomposition, strongly_connected_components
 from graphblast_spark.algorithms.walks import neighborhood_sample, random_walks
 
 __all__ = [
@@ -25,6 +26,8 @@ __all__ = [
     "personalized_pagerank",
     "betweenness_centrality",
     "connected_components",
+    "strongly_connected_components",
+    "bowtie_decomposition",
     "label_propagation_majority",
     "label_propagation_min",
     "triangle_count",

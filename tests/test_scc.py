@@ -1,0 +1,87 @@
+"""SCC + bowtie: crafted digraphs with known answers, plus structural
+properties against connected_components on the ordseq fixture."""
+
+import pyspark.sql.functions as F
+
+from graphblast_spark.algorithms.cc import connected_components
+from graphblast_spark.algorithms.scc import (
+    bowtie_decomposition,
+    strongly_connected_components,
+)
+from graphblast_spark.matrix import Graph
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _graph(spark, edges, n):
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, val double"
+    )
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    return Graph.build(e, vertices=v)
+
+
+def test_scc_crafted(spark):
+    # cycle {1,2,3} fed by 0, leaking to sink 6; cycle {4,5} fed by 7
+    g = _graph(spark, [(0, 1), (1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 6), (7, 4)], 8)
+    scc = {r.id: r.scc_id for r in strongly_connected_components(g).collect()}
+    assert scc[1] == scc[2] == scc[3] == 1
+    assert scc[4] == scc[5] == 4
+    assert scc[0] == 0 and scc[6] == 6 and scc[7] == 7
+
+
+def test_scc_dag_all_singletons(spark):
+    g = _graph(spark, [(0, 1), (1, 2), (0, 2), (2, 3)], 4)
+    scc = {r.id: r.scc_id for r in strongly_connected_components(g).collect()}
+    assert scc == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_scc_single_cycle(spark):
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0)], 3)
+    scc = {r.id: r.scc_id for r in strongly_connected_components(g).collect()}
+    assert set(scc.values()) == {0}
+
+
+def test_bowtie_crafted(spark):
+    g = _graph(spark, [(0, 1), (1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 6), (7, 4)], 8)
+    bt = {r.id: r.component for r in bowtie_decomposition(g).collect()}
+    assert bt[1] == bt[2] == bt[3] == "CORE"
+    assert bt[0] == "IN" and bt[6] == "OUT"
+    assert bt[4] == bt[7] == "OTHER"  # {4,5} is a smaller SCC → not core
+
+
+def test_scc_refines_weak_cc(spark):
+    """Every SCC is contained in one weakly connected component, and
+    vertices sharing an SCC share the CC label."""
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, SF_DIR)
+    scc = strongly_connected_components(g)
+    cc = connected_components(g)
+    joined = scc.join(cc, "id")
+    # each scc_id maps to exactly one component
+    bad = (
+        joined.groupBy("scc_id")
+        .agg(F.count_distinct("component").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .count()
+    )
+    assert bad == 0
+    # scc count >= cc count (refinement)
+    n_scc = scc.select("scc_id").distinct().count()
+    n_cc = cc.select("component").distinct().count()
+    assert n_scc >= n_cc
+
+
+def test_scc_label_is_member_min(spark):
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, SF_DIR)
+    scc = strongly_connected_components(g)
+    bad = (
+        scc.groupBy("scc_id")
+        .agg(F.min("id").alias("m"))
+        .filter(F.col("m") != F.col("scc_id"))
+        .count()
+    )
+    assert bad == 0
