@@ -555,6 +555,23 @@ def q_g_ppr(spark, sf_dir):
     )
 
 
+def q_g_spam_mass(spark, sf_dir):
+    """TrustRank + relative spam mass (Gyöngyi et al. 2004/2006) on
+    the copurchase graph with the 4 lowest-id vertices as the trusted
+    core — the web-spam pair of power iterations sharing one
+    pagerank_prep."""
+    from graphblast_spark.algorithms.pagerank import spam_mass
+
+    g = copurchase_graph(spark, sf_dir)
+    seeds = g.vertices.orderBy("id").limit(4)
+    return spam_mass(g, seeds, fixed_iters=10).select(
+        "id",
+        F.round("pr", 6).alias("pr"),
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
 def q_g_kcore(spark, sf_dir):
     from graphblast_spark.algorithms import k_core
 
@@ -969,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hits": q_g_hits,
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
+        "g_spam_mass": q_g_spam_mass,
         "d_token_count": q_d_token_count,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
@@ -1807,6 +1825,43 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.iter, e.dst, s.id
             )
             SELECT id, round(val, 6) AS ppr FROM pr WHERE iter = 10""",
+        "g_spam_mass": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            outdeg AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+            ew AS (
+              SELECT e.src, e.dst, CAST(0.85 AS DOUBLE) / o.c AS w
+              FROM edges e JOIN outdeg o ON e.src = o.id
+              UNION ALL
+              SELECT id, id, CAST(0.0 AS DOUBLE) FROM vertices
+            ),
+            seeds AS (SELECT id FROM vertices ORDER BY id LIMIT 4),
+            pr(iter, id, val) AS (
+              SELECT 0, id, CAST(1.0 AS DOUBLE) / {n_expr} FROM vertices
+              UNION ALL
+              SELECT p.iter + 1, e.dst, CAST(0.15 AS DOUBLE) / {n_expr} + sum(e.w * p.val)
+              FROM pr p JOIN ew e ON p.id = e.src
+              WHERE p.iter < 10
+              GROUP BY p.iter, e.dst
+            ),
+            tr(iter, id, val) AS (
+              SELECT 0, v.id, CASE WHEN s.id IS NOT NULL
+                     THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+              FROM vertices v LEFT JOIN seeds s ON v.id = s.id
+              UNION ALL
+              SELECT t.iter + 1, e.dst,
+                     (CASE WHEN s.id IS NOT NULL THEN CAST(0.15 AS DOUBLE) / 4
+                      ELSE CAST(0.0 AS DOUBLE) END) + sum(e.w * t.val)
+              FROM tr t JOIN ew e ON t.id = e.src
+              LEFT JOIN seeds s ON e.dst = s.id
+              WHERE t.iter < 10
+              GROUP BY t.iter, e.dst, s.id
+            )
+            SELECT p.id AS id, round(p.val, 6) AS pr, round(t.val, 6) AS trust,
+                   round(CASE WHEN p.val > 0
+                         THEN (p.val - t.val) / p.val
+                         ELSE CAST(0.0 AS DOUBLE) END, 6) AS spam_mass
+            FROM (SELECT id, val FROM pr WHERE iter = 10) p
+            JOIN (SELECT id, val FROM tr WHERE iter = 10) t ON p.id = t.id""",
         "g_ewise_mult_scalar": f"""
             WITH {_VERTICES}
             SELECT id, round(CAST((id % 7) + 1 AS DOUBLE) * CAST(2.5 AS DOUBLE), 6) AS val

@@ -1,4 +1,10 @@
-from graphblast_spark.algorithms.pagerank import pagerank, pagerank_prep, personalized_pagerank
+from graphblast_spark.algorithms.pagerank import (
+    pagerank,
+    pagerank_prep,
+    personalized_pagerank,
+    spam_mass,
+    trustrank,
+)
 from graphblast_spark.algorithms.bc import betweenness_centrality
 from graphblast_spark.algorithms.cc import connected_components
 from graphblast_spark.algorithms.lp import label_propagation_majority, label_propagation_min
@@ -24,6 +30,8 @@ __all__ = [
     "pagerank",
     "pagerank_prep",
     "personalized_pagerank",
+    "trustrank",
+    "spam_mass",
     "betweenness_centrality",
     "connected_components",
     "strongly_connected_components",

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import (
+    SuperstepRunner,
+    child_runner,
+    stable_partitions,
+)
 
 
 def pagerank_prep(g: Graph, alpha: float = 0.85) -> DataFrame:
@@ -263,3 +267,74 @@ def incremental_pagerank(
         g, alpha=alpha, eps=eps, desc=desc, runner=runner,
         w_edges=w_edges, init_ranks=init,
     )
+
+
+def trustrank(
+    g: Graph,
+    trusted: DataFrame | list[int],
+    alpha: float = 0.85,
+    fixed_iters: int = 10,
+    w_edges: DataFrame | None = None,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, "Combating Web
+    Spam with TrustRank", VLDB 2004): biased PageRank whose teleport
+    mass lands only on a vetted trusted-seed set, so trust attenuates
+    along links and spam farms — reachable mainly from other spam —
+    accumulate little of it. Mathematically this IS personalized
+    PageRank with the trust seed set; exposed under its web-spam name
+    so the link-graph API reads as the papers do. Same superstep plan,
+    same cost. Returns (id long, val double)."""
+    return personalized_pagerank(
+        g, trusted, alpha=alpha, fixed_iters=fixed_iters,
+        w_edges=w_edges, runner=runner,
+    )
+
+
+def spam_mass(
+    g: Graph,
+    trusted: DataFrame | list[int],
+    alpha: float = 0.85,
+    fixed_iters: int = 10,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina, Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006):
+    estimate how much of a page's PageRank flows in from *untrusted*
+    parts of the web. With p = PageRank and p' = TrustRank (both run
+    the same number of supersteps, same α), the relative mass is
+
+        m(v) = (p(v) − p'(v)) / p(v)
+
+    ≈ 1 for pure spam-supported pages, ≈ 0 (or negative) for pages the
+    trusted core endorses more than the web at large. Vertices with
+    p(v) = 0 (possible only with fixed_iters on exotic graphs) report
+    0.0.
+
+    One shared pagerank_prep (persisted weighted edges) feeds both
+    power iterations — the edge table is scanned by two loops but
+    shuffled exactly once. Returns (id, pr, trust, spam_mass)."""
+    spark = g.edges.sparkSession
+    w = pagerank_prep(g, alpha)
+    try:
+        # Separate checkpoint namespaces: one loop per sub-runner, so a
+        # durable-checkpointed spam_mass run resumes each power
+        # iteration from its own newest checkpoint (child_runner is the
+        # same pattern bc.py uses for root batches).
+        p = pagerank(g, alpha=alpha, fixed_iters=fixed_iters,
+                     w_edges=w, runner=child_runner(runner, spark, "pr")).select(
+            "id", F.col("val").alias("pr"))
+        t = trustrank(g, trusted, alpha=alpha, fixed_iters=fixed_iters,
+                      w_edges=w,
+                      runner=child_runner(runner, spark, "trust")).select(
+            "id", F.col("val").alias("trust"))
+        out = p.join(t, "id").select(
+            "id", "pr", "trust",
+            F.when(F.col("pr") > 0,
+                   (F.col("pr") - F.col("trust")) / F.col("pr"))
+            .otherwise(F.lit(0.0)).alias("spam_mass"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        w.unpersist()
+    return out

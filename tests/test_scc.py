@@ -85,3 +85,27 @@ def test_scc_label_is_member_min(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_spam_mass_separates_farm_from_trusted(spark):
+    """Trusted pair {0,1} linked to each other; a spam farm {2,3,4,5}
+    unreachable from the trusted core gets trust 0 → spam mass 1."""
+    from graphblast_spark.algorithms.pagerank import spam_mass, trustrank
+
+    g = _graph(
+        spark,
+        [(0, 1), (1, 0), (2, 5), (3, 5), (4, 5), (5, 2), (5, 3), (5, 4)],
+        6,
+    )
+    out = {r.id: r for r in spam_mass(g, [0], fixed_iters=15).collect()}
+    assert out[1].trust > 0.1          # endorsed by the seed
+    assert out[1].spam_mass < 0.1      # nearly all of page 1's rank is trusted
+    for v in (2, 3, 4, 5):
+        assert out[v].trust == 0.0
+        assert abs(out[v].spam_mass - 1.0) < 1e-9
+
+    # trustrank is ppr: mass conservation on the trusted side
+    tr = trustrank(g, [0], fixed_iters=15)
+    import pyspark.sql.functions as F
+    total = tr.agg(F.sum("val")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
