@@ -555,6 +555,18 @@ def q_g_ppr(spark, sf_dir):
     )
 
 
+def q_g_anf(spark, sf_dir):
+    """Exact neighborhood function N(t) (Σ ball sizes, t=0..6) on the
+    directed order-sequence graph — the oracle twin of the HyperBall
+    sketch variant (algorithms/anf.py; HLL vs exact pinned in
+    tests/test_anf.py)."""
+    from graphblast_spark.algorithms.anf import neighborhood_function_exact
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return neighborhood_function_exact(g, max_t=6)
+
+
 def q_g_spam_mass(spark, sf_dir):
     """TrustRank + relative spam mass (Gyöngyi et al. 2004/2006) on
     the copurchase graph with the 4 lowest-id vertices as the trusted
@@ -987,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
+        "g_anf": q_g_anf,
         "d_token_count": q_d_token_count,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
@@ -1825,6 +1838,21 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.iter, e.dst, s.id
             )
             SELECT id, round(val, 6) AS ppr FROM pr WHERE iter = 10""",
+        "g_anf": f"""
+            WITH RECURSIVE oe AS ({SQL_ORDSEQ_EDGES}),
+            ov AS (SELECT DISTINCT id FROM
+                   (SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe)),
+            w(s, v, t) AS (
+              SELECT id, id, 0 FROM ov
+              UNION
+              SELECT w.s, e.dst, w.t + 1 FROM w JOIN oe e ON w.v = e.src
+              WHERE w.t < 6
+            ),
+            dist AS (SELECT s, v, min(t) AS d FROM w GROUP BY s, v),
+            grid AS (SELECT unnest(generate_series(0, 6)) AS t)
+            SELECT CAST(g.t AS INTEGER) AS t, count(*) AS n_pairs
+            FROM grid g JOIN dist ON dist.d <= g.t
+            GROUP BY g.t""",
         "g_spam_mass": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},
             outdeg AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),

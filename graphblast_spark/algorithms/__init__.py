@@ -23,6 +23,11 @@ from graphblast_spark.algorithms.kcore import k_core
 from graphblast_spark.algorithms.linkpred import link_prediction_scores
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
+from graphblast_spark.algorithms.anf import (
+    effective_diameter,
+    hyperball,
+    neighborhood_function_exact,
+)
 from graphblast_spark.algorithms.scc import bowtie_decomposition, strongly_connected_components
 from graphblast_spark.algorithms.walks import neighborhood_sample, random_walks
 
@@ -36,6 +41,9 @@ __all__ = [
     "connected_components",
     "strongly_connected_components",
     "bowtie_decomposition",
+    "hyperball",
+    "neighborhood_function_exact",
+    "effective_diameter",
     "label_propagation_majority",
     "label_propagation_min",
     "triangle_count",
