@@ -76,7 +76,9 @@ def main(argv=None) -> int:
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
                             "kcore", "closeness", "hits", "bc", "ppr",
-                            "clean-corpus", "domain-pr"])
+                            "scc", "bowtie", "anf", "trustrank", "spam-mass",
+                            "clean-corpus", "domain-pr", "redact-pii",
+                            "boilerplate"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,val])")
     p.add_argument("--pages", help="pages-schema parquet (north-rule input)")
     p.add_argument("--fixture", help="named reference fixture graph")
@@ -125,6 +127,14 @@ def main(argv=None) -> int:
     p.add_argument("--span-tokens", type=int, default=20)
     p.add_argument("--url-edges", help="domain-pr: parquet of (src_url, dst_url)")
     p.add_argument("--domain-by", default="host", choices=["host", "site"])
+    p.add_argument("--max-t", type=int, default=16,
+                   help="anf: max distance t for the neighborhood function")
+    p.add_argument("--lg-k", type=int, default=12,
+                   help="anf: HLL sketch lgConfigK (error ≈ 1.04/√2^lg_k)")
+    p.add_argument("--exact-anf", action="store_true",
+                   help="anf: exact all-pairs MSBFS instead of HyperBall")
+    p.add_argument("--min-docs", type=int, default=10,
+                   help="boilerplate: distinct-doc support threshold")
     args = p.parse_args(argv)
 
     from graphblast_spark import get_spark
@@ -161,6 +171,43 @@ def main(argv=None) -> int:
         print(json.dumps({
             "algorithm": "clean-corpus", "rows_out": n_out,
             "retention": stats, "sec": round(time.time() - t0, 3),
+        }))
+        return 0
+
+    if args.algorithm == "redact-pii":
+        from graphblast_spark.functions.pii import pii_stats, redact_pii
+
+        t0 = time.time()
+        docs = spark.read.parquet(args.docs)
+        out = redact_pii(docs)
+        n_out = out.count()
+        _write(out, args, "redact_pii")
+        stats = {r["kind"]: {"n_docs": r["n_docs"], "n_matches": r["n_matches"]}
+                 for r in pii_stats(docs).collect()}
+        print(json.dumps({
+            "algorithm": "redact-pii", "rows_out": n_out,
+            "incidence": stats, "sec": round(time.time() - t0, 3),
+        }))
+        return 0
+
+    if args.algorithm == "boilerplate":
+        from pyspark.sql import functions as F
+
+        from graphblast_spark.functions.dedup import remove_boilerplate
+
+        t0 = time.time()
+        docs = spark.read.parquet(args.docs)
+        out = remove_boilerplate(docs, min_docs=args.min_docs,
+                                 span_tokens=args.span_tokens)
+        n_out = out.count()
+        _write(out, args, "boilerplate")
+        agg = out.agg(
+            F.sum("n_boiler_spans").alias("b"), F.sum("n_spans").alias("s")
+        ).first()
+        print(json.dumps({
+            "algorithm": "boilerplate", "rows_out": n_out,
+            "n_boiler_spans": int(agg["b"] or 0), "n_spans": int(agg["s"] or 0),
+            "sec": round(time.time() - t0, 3),
         }))
         return 0
 
@@ -261,6 +308,24 @@ def main(argv=None) -> int:
         seeds = [int(x) for x in args.seeds.split(",") if x != ""]
         out = A.personalized_pagerank(g, seeds, alpha=args.alpha,
                                       fixed_iters=args.niter or 10, runner=runner)
+    elif args.algorithm == "scc":
+        out = A.strongly_connected_components(g, runner=runner)
+    elif args.algorithm == "bowtie":
+        out = A.bowtie_decomposition(g, runner=runner)
+    elif args.algorithm == "anf":
+        if args.exact_anf:
+            out = A.neighborhood_function_exact(g, max_t=args.max_t, runner=runner)
+        else:
+            out = A.hyperball(g, max_t=args.max_t, lg_config_k=args.lg_k,
+                              runner=runner)
+    elif args.algorithm == "trustrank":
+        seeds = [int(x) for x in args.seeds.split(",") if x != ""]
+        out = A.trustrank(g, seeds, alpha=args.alpha,
+                          fixed_iters=args.niter or 10, runner=runner)
+    elif args.algorithm == "spam-mass":
+        seeds = [int(x) for x in args.seeds.split(",") if x != ""]
+        out = A.spam_mass(g, seeds, alpha=args.alpha,
+                          fixed_iters=args.niter or 10, runner=runner)
     elif args.algorithm == "lgc":
         out = A.lgc(g, source=args.source, alpha=0.15, eps=1e-6,
                     desc=desc, runner=runner)

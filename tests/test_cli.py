@@ -121,3 +121,42 @@ def test_cli_domain_pagerank(spark, capsys, tmp_path):
     lines = capsys.readouterr().out.strip().splitlines()
     stats = json.loads(lines[-1])
     assert stats["n_domains"] == 4 and stats["rows_out"] == 4
+
+
+def test_cli_round3_graph_algorithms_smoke(spark, capsys):
+    for argv in (
+        ["scc", "--fixture", "chesapeake"],
+        ["bowtie", "--fixture", "chesapeake"],
+        ["anf", "--fixture", "chesapeake", "--max-t", "4"],
+        ["anf", "--fixture", "chesapeake", "--max-t", "3", "--exact-anf"],
+        ["trustrank", "--fixture", "chesapeake", "--seeds", "1,2", "--niter", "3"],
+        ["spam-mass", "--fixture", "chesapeake", "--seeds", "1", "--niter", "3"],
+    ):
+        rc = main(argv)
+        assert rc == 0, argv
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows_out"] > 0, argv
+
+
+def test_cli_redact_pii_and_boilerplate(spark, capsys, tmp_path):
+    docs_in = str(tmp_path / "pii_docs")
+    spark.createDataFrame(
+        [(1, "mail a@b.co now\nall rights reserved"),
+         (2, "from 1.2.3.4\nall rights reserved"),
+         (3, "clean text here\nall rights reserved")],
+        "doc_id long, text string",
+    ).write.parquet(docs_in)
+
+    rc = main(["redact-pii", "--docs", docs_in])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_out"] == 3
+    assert stats["incidence"]["email"]["n_docs"] == 1
+    assert stats["incidence"]["ipv4"]["n_matches"] == 1
+
+    out = str(tmp_path / "bp_out")
+    rc = main(["boilerplate", "--docs", docs_in, "--min-docs", "3",
+               "--span-tokens", "3", "--output", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_out"] == 3
