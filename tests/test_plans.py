@@ -117,3 +117,57 @@ def test_clean_corpus_plan_no_cartesian_no_row_udf(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF operator
+
+
+def test_redact_pii_plan_pure_projection(spark):
+    """PII redaction must stay a map-only codegen projection: zero
+    exchanges, zero Python operators."""
+    from graphblast_spark.functions.pii import redact_pii
+
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Window"):
+        assert bad not in plan, f"{bad} in redact_pii plan:\n{plan}"
+
+
+def test_remove_boilerplate_plan_no_window_no_cartesian(spark):
+    from graphblast_spark.functions.dedup import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y\nshared footer") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = remove_boilerplate(docs, min_docs=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Window", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} in remove_boilerplate plan:\n{plan}"
+
+
+def test_hyperball_superstep_stays_jvm_side(spark):
+    """One HyperBall round = union + single hash aggregate of HLL
+    sketches — no Python eval, no window, no cartesian product."""
+    import pyspark.sql.functions as F
+
+    from graphblast_spark.matrix import Graph
+
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)], "src long, dst long, val double"
+    )
+    g = Graph.build(e)
+    counters = g.vertices.groupBy("id").agg(
+        F.hll_sketch_agg("id", F.lit(12)).alias("sk")
+    )
+    gathered = (
+        g.edges.join(counters, g.edges["dst"] == counters["id"], "inner")
+        .select(g.edges["src"].alias("id"), counters["sk"].alias("sk"))
+    )
+    stepped = (
+        gathered.unionByName(counters)
+        .groupBy("id")
+        .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
+    )
+    stepped.collect()
+    plan = stepped._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Window", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in hyperball superstep plan:\n{plan}"
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
