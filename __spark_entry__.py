@@ -816,6 +816,32 @@ def q_d_span_dedup(spark, sf_dir):
     )
 
 
+def q_d_anchor_agg(spark, sf_dir):
+    """Anchor-text extraction + per-target aggregation
+    (sources/distill.py extract_anchors / anchor_summary) over html
+    synthesized from orders — two anchors per page, 200 shared targets,
+    varied anchor terms; DuckDB rebuilds the identical html and replays
+    the regexes."""
+    from graphblast_spark.sources.distill import anchor_summary, extract_anchors
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    html = F.concat(
+        F.lit('<p>x</p><li><a href="http://t'), s(ok % 200),
+        F.lit('.example.com/">order '), s(ok % 50), F.lit("</a></li>"),
+        F.lit('<li><a href="http://t'), s((ok * 7) % 200),
+        F.lit('.example.com/">ref '), s(ok % 31), F.lit("</a></li>"),
+    )
+    pages = o.select(
+        F.concat(
+            F.lit("http://site"), s(ck % 37), F.lit(".example.com/o/"), s(ok)
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return anchor_summary(extract_anchors(pages))
+
+
 def q_d_boilerplate(spark, sf_dir):
     """CCNet-style boilerplate tier: paragraph spans recurring across
     >= 25 DISTINCT documents are stripped and the doc rebuilt. The
@@ -1014,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_domain_graph": q_d_domain_graph,
         "d_span_dedup": q_d_span_dedup,
         "d_boilerplate": q_d_boilerplate,
+        "d_anchor_agg": q_d_anchor_agg,
         "d_clean_corpus": q_d_clean_corpus,
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_lsh": q_d_minhash_lsh,
@@ -2379,6 +2406,46 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN coalesce(tc, 0) > 0
                          THEN dc / CAST(tc AS DOUBLE) ELSE 0.0 END, 6) AS dup_span_frac
             FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
+        "d_anchor_agg": r"""
+            WITH pages AS (
+              SELECT 'http://site' || (o_custkey % 37) || '.example.com/o/'
+                       || o_orderkey AS src_url,
+                     '<p>x</p><li><a href="http://t' || (o_orderkey % 200)
+                       || '.example.com/">order ' || (o_orderkey % 50)
+                       || '</a></li>'
+                       || '<li><a href="http://t' || ((o_orderkey * 7) % 200)
+                       || '.example.com/">ref ' || (o_orderkey % 31)
+                       || '</a></li>' AS html
+              FROM orders
+            ),
+            tags AS (
+              SELECT src_url,
+                     unnest(regexp_extract_all(html,
+                       '<a href="[^"]*">[^<]*</a>')) AS tag
+              FROM pages
+            ),
+            an AS (
+              SELECT src_url,
+                     regexp_extract(tag, 'href="([^"]*)"', 1) AS dst_url,
+                     regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+              FROM tags
+            ),
+            tot AS (
+              SELECT dst_url, count(*) AS n_inlinks,
+                     count(DISTINCT src_url) AS n_src
+              FROM an GROUP BY dst_url
+            ),
+            pc AS (
+              SELECT dst_url, anchor, count(*) AS c
+              FROM an GROUP BY dst_url, anchor
+            ),
+            top AS (
+              SELECT dst_url, first(anchor ORDER BY c DESC, anchor) AS top_anchor
+              FROM pc GROUP BY dst_url
+            )
+            SELECT t.dst_url AS dst_url, t.n_inlinks AS n_inlinks,
+                   CAST(t.n_src AS BIGINT) AS n_src, p.top_anchor AS top_anchor
+            FROM tot t JOIN top p ON t.dst_url = p.dst_url""",
         "d_boilerplate": r"""
             WITH dirty AS (
               SELECT doc_id,

@@ -109,8 +109,21 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     _, t = _timed_warm(lambda: bfs(g, source=src).count())
     timings["bfs"] = round(t, 3)
 
+    # Directed web-graph tier (round 3): SCC + HyperBall on the
+    # order-sequence graph (the directed fixture with real cycles).
+    from graphblast_spark.algorithms import hyperball, strongly_connected_components
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g2, t = _timed(lambda: ordseq_graph(spark, sf_dir))
+    timings["ordseq_build"] = round(t, 3)
+    _, t = _timed_warm(lambda: strongly_connected_components(g2).count())
+    timings["scc"] = round(t, 3)
+    _, t = _timed_warm(lambda: hyperball(g2, max_t=8).count())
+    timings["hyperball_t8"] = round(t, 3)
+
     # Training-data ops.
-    for name in ["d_minhash_lsh", "d_exact_dedup", "d_simhash", "e_knn_cosine", "d_quality"]:
+    for name in ["d_minhash_lsh", "d_exact_dedup", "d_simhash", "e_knn_cosine",
+                 "d_quality", "d_pii_redact", "d_boilerplate"]:
         _, t = _timed_warm(lambda n=name: q[n](spark, sf_dir).count())
         timings[name] = round(t, 3)
 

@@ -128,8 +128,18 @@ def generate_pages(
                 valid = t >= 0
                 if not valid.any():
                     continue
+                # Anchor text varies deterministically with the target
+                # (real crawls carry signal in anchors — "about page 42",
+                # not a constant) so anchor aggregation has real work.
+                term = np.char.add(
+                    "about page ", (np.maximum(t, 0) % 997).astype("U4")
+                )
                 link = np.char.add(
-                    np.char.add('<li><a href="', page_url(np.maximum(t, 0))), '">link</a></li>'
+                    np.char.add(
+                        np.char.add('<li><a href="', page_url(np.maximum(t, 0))),
+                        np.char.add('">', term),
+                    ),
+                    "</a></li>",
                 )
                 anchors = np.where(valid, np.char.add(anchors.astype("U"), link), anchors)
             html = (

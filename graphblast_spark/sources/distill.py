@@ -175,3 +175,59 @@ def distill_edges(
         # the per-src null fan-out the url-level dedup can't see
         edges = edges.dropDuplicates(["src", "dst"])
     return edges, url_map
+
+
+# --- anchor-text extraction & aggregation (link_graph × webtext) --------
+#
+# Anchor text is the classic cross-document relevance signal for the
+# TARGET page (search engines index it since the 1990s; web-corpus
+# pipelines attach aggregated inlink anchors as target-page metadata).
+# Extraction here is pure JVM Column expressions (regexp over the
+# decoded html — no Arrow round-trip needed for a per-tag regex), so
+# the whole path is scan → explode → two vertex-keyed aggregates.
+
+_ANCHOR_TAG_RE = '<a href="[^"]*">[^<]*</a>'
+_ANCHOR_TEXT_RE = '>([^<]*)</a>'
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """pages (url, html binary) → (src_url, dst_url, anchor) — one row
+    per <a> tag. Codegen-only: decode, findall tags, per-tag href/text
+    extracts, explode."""
+    h = F.col("html").cast("string")
+    tags = F.regexp_extract_all(h, F.lit(_ANCHOR_TAG_RE), 0)
+    pairs = F.transform(
+        tags,
+        lambda x: F.struct(
+            F.regexp_extract(x, _HREF_RE, 1).alias("dst_url"),
+            F.regexp_extract(x, _ANCHOR_TEXT_RE, 1).alias("anchor"),
+        ),
+    )
+    return (
+        pages.select(F.col("url").alias("src_url"), F.explode(pairs).alias("p"))
+        .select("src_url", "p.dst_url", "p.anchor")
+    )
+
+
+def anchor_summary(anchors: DataFrame) -> DataFrame:
+    """Per target url: (dst_url, n_inlinks, n_src, top_anchor) where
+    top_anchor is the most frequent anchor string (ties → lexically
+    smallest — deterministic on any cluster). Two map-side-combining
+    aggregates + one vertex-sized join; the hub target (every page
+    linking to a homepage) is absorbed by partial aggregation, and the
+    top-anchor argmax is the struct-min trick (no window over the
+    anchor stream)."""
+    totals = anchors.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.count_distinct("src_url").alias("n_src"),
+    )
+    top = (
+        anchors.groupBy("dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("dst_url")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), "anchor")).alias("t"))
+        .select("dst_url", F.col("t.anchor").alias("top_anchor"))
+    )
+    return totals.join(top, "dst_url").select(
+        "dst_url", "n_inlinks", "n_src", "top_anchor"
+    )

@@ -104,3 +104,51 @@ def test_read_pages_parquet_and_iceberg_gate(spark, tmp_path):
     spark.range(3).withColumnRenamed("id", "url").write.parquet(bad)
     with pytest.raises(ValueError, match="missing required columns"):
         read_pages(spark, bad, format="parquet")
+
+
+def test_extract_anchors_matches_outlinks(spark):
+    """Anchor extraction (JVM regex path) sees exactly the same edge
+    set as the Arrow outlink extractor, with per-target anchor text."""
+    import pyspark.sql.functions as F
+
+    from graphblast_spark.sources.corpus import generate_pages
+    from graphblast_spark.sources.distill import (
+        anchor_summary,
+        extract_anchors,
+        extract_columns,
+    )
+
+    pages = generate_pages(spark, 500, seed=7)
+    a = extract_anchors(pages)
+    links = extract_columns(pages).select(
+        F.col("url").alias("src_url"), F.explode("outlinks").alias("dst_url")
+    )
+    assert a.select("src_url", "dst_url").exceptAll(links).count() == 0
+    assert links.exceptAll(a.select("src_url", "dst_url")).count() == 0
+    # anchor text is target-derived: "about page <target_id % 997>"
+    bad = a.filter(
+        F.col("anchor")
+        != F.concat(
+            F.lit("about page "),
+            (F.regexp_extract("dst_url", r"/p/(\d+)$", 1).cast("long") % 997)
+            .cast("string"),
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_anchor_summary_crafted(spark):
+    from graphblast_spark.sources.distill import anchor_summary
+
+    a = spark.createDataFrame(
+        [
+            ("s1", "t", "home"), ("s2", "t", "home"), ("s2", "t", "start"),
+            ("s3", "u", "b"), ("s3", "u", "a"),
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    out = {r.dst_url: r for r in anchor_summary(a).collect()}
+    assert out["t"].n_inlinks == 3 and out["t"].n_src == 2
+    assert out["t"].top_anchor == "home"
+    # tie (a:1, b:1) → lexicographically smallest
+    assert out["u"].top_anchor == "a" and out["u"].n_src == 1
