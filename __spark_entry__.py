@@ -239,6 +239,16 @@ def q_g_bowtie(spark, sf_dir):
     return bowtie_decomposition(g).select("id", "component")
 
 
+def q_g_condensation(spark, sf_dir):
+    """Condensation DAG of the order-sequence graph: SCCs contracted,
+    parallel edges aggregated (algorithms/scc.py condensation)."""
+    from graphblast_spark.algorithms.scc import condensation
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return condensation(g).select("src_scc", "dst_scc", "n_edges")
+
+
 def q_g_lp_majority(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     return label_propagation_majority(g, iters=5).select("id", "label")
@@ -990,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_cc": q_g_cc,
         "g_scc": q_g_scc,
         "g_bowtie": q_g_bowtie,
+        "g_condensation": q_g_condensation,
         "g_lp_majority": q_g_lp_majority,
         "g_lp_min": q_g_lp_min,
         "g_bfs": q_g_bfs,
@@ -1730,6 +1741,28 @@ def oracle_sql() -> dict[str, str]:
                                      WHERE r.d = s.id) THEN 'OUT'
                         ELSE 'OTHER' END AS component
             FROM scc s""",
+        "g_condensation": f"""
+            WITH RECURSIVE oe AS ({SQL_ORDSEQ_EDGES}),
+            ov AS (SELECT DISTINCT id FROM
+                   (SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe)),
+            r(s, d) AS (
+              SELECT src, dst FROM oe
+              UNION
+              SELECT r.s, e.dst FROM r JOIN oe e ON r.d = e.src
+            ),
+            scc AS (
+              SELECT v.id,
+                     coalesce((SELECT min(r1.d)
+                               FROM r r1 JOIN r r2 ON r2.s = r1.d AND r2.d = r1.s
+                               WHERE r1.s = v.id AND r1.d < v.id), v.id) AS scc_id
+              FROM ov v
+            )
+            SELECT sm.scc_id AS src_scc, dm.scc_id AS dst_scc,
+                   count(*) AS n_edges
+            FROM oe JOIN scc sm ON oe.src = sm.id
+                    JOIN scc dm ON oe.dst = dm.id
+            WHERE sm.scc_id <> dm.scc_id
+            GROUP BY sm.scc_id, dm.scc_id""",
         "g_cc": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},
             ea AS (

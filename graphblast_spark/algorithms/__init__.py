@@ -28,7 +28,11 @@ from graphblast_spark.algorithms.anf import (
     hyperball,
     neighborhood_function_exact,
 )
-from graphblast_spark.algorithms.scc import bowtie_decomposition, strongly_connected_components
+from graphblast_spark.algorithms.scc import (
+    bowtie_decomposition,
+    condensation,
+    strongly_connected_components,
+)
 from graphblast_spark.algorithms.walks import neighborhood_sample, random_walks
 
 __all__ = [
@@ -41,6 +45,7 @@ __all__ = [
     "connected_components",
     "strongly_connected_components",
     "bowtie_decomposition",
+    "condensation",
     "hyperball",
     "neighborhood_function_exact",
     "effective_diameter",

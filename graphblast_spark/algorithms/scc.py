@@ -260,3 +260,27 @@ def bowtie_decomposition(
     )
     scc.unpersist()
     return result
+
+
+def condensation(g: Graph, scc: DataFrame | None = None) -> DataFrame:
+    """The condensation DAG: contract every SCC to one vertex and
+    aggregate parallel edges — (src_scc, dst_scc, n_edges), self-loops
+    (intra-SCC edges) dropped. The standard follow-up to SCC: web-graph
+    structure analysis runs on the condensation (it is acyclic and
+    orders of magnitude smaller than the page graph).
+
+    Plan: two vertex-keyed hash joins to relabel endpoints + one
+    map-side-combining groupBy on the (scc, scc) pair — no windows, no
+    distinct-on-edges."""
+    if scc is None:
+        scc = strongly_connected_components(g)
+    src_m = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
+    dst_m = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    return (
+        g.edges.select("src", "dst")
+        .join(src_m, "src")
+        .join(dst_m, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

@@ -109,3 +109,28 @@ def test_spam_mass_separates_farm_from_trusted(spark):
     import pyspark.sql.functions as F
     total = tr.agg(F.sum("val")).collect()[0][0]
     assert abs(total - 1.0) < 1e-6
+
+
+def test_condensation_is_acyclic(spark):
+    """The condensation contracts every cycle: running SCC on the
+    condensation graph must yield all-singleton components."""
+    from graphblast_spark.algorithms.scc import condensation
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, SF_DIR)
+    cond = condensation(g).withColumnRenamed("src_scc", "src").withColumnRenamed(
+        "dst_scc", "dst"
+    ).withColumn("val", F.lit(1.0))
+    g2 = Graph.build(cond.select("src", "dst", "val"))
+    scc2 = strongly_connected_components(g2)
+    n = scc2.count()
+    assert scc2.select("scc_id").distinct().count() == n
+
+
+def test_condensation_crafted(spark):
+    from graphblast_spark.algorithms.scc import condensation
+
+    # cycle {1,2,3} with two in-edges from 0 and one out to 6
+    g = _graph(spark, [(0, 1), (0, 2), (1, 2), (2, 3), (3, 1), (3, 6)], 7)
+    rows = {(r.src_scc, r.dst_scc): r.n_edges for r in condensation(g).collect()}
+    assert rows == {(0, 1): 2, (1, 6): 1}
