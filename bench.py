@@ -140,6 +140,14 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     timings["pages_distill_20k"] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
+    # Round-over-round comparability: the r3 suite added slots (ordseq
+    # build, SCC, HyperBall, pii, boilerplate); this subtotal is the
+    # sum over exactly the r1/r2 slot set.
+    _r3_slots = {"ordseq_build", "scc", "hyperball_t8", "d_pii_redact",
+                 "d_boilerplate"}
+    total_r2_slots = round(
+        sum(v for k, v in timings.items() if k not in _r3_slots), 3
+    )
     result = {
         "metric": "headline suite wall time (graph algos + training-data ops; "
                   "query slots warmup+timed per reference protocol), sf0.1",
@@ -151,6 +159,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "gteps_pr": round(gteps_pr, 1),
         "pages_edges_distilled": n_edges,
         "cpus": cpus,
+        "total_r2_slots": total_r2_slots,
     }
     spark.stop()
     return result
