@@ -239,6 +239,18 @@ def q_g_bowtie(spark, sf_dir):
     return bowtie_decomposition(g).select("id", "component")
 
 
+def q_g_edge_support(spark, sf_dir):
+    """Per-edge triangle support on the copurchase graph — the single-
+    pass building block of k-truss peeling (algorithms/ktruss.py; the
+    full peel is pytest-pinned against a driver-side python oracle,
+    tests/test_ktruss.py, since iterative re-aggregation is not
+    SQL-expressible)."""
+    from graphblast_spark.algorithms.ktruss import edge_triangle_support
+
+    g = copurchase_graph(spark, sf_dir)
+    return edge_triangle_support(g).select("a", "b", "support")
+
+
 def q_g_condensation(spark, sf_dir):
     """Condensation DAG of the order-sequence graph: SCCs contracted,
     parallel edges aggregated (algorithms/scc.py condensation)."""
@@ -1001,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_scc": q_g_scc,
         "g_bowtie": q_g_bowtie,
         "g_condensation": q_g_condensation,
+        "g_edge_support": q_g_edge_support,
         "g_lp_majority": q_g_lp_majority,
         "g_lp_min": q_g_lp_min,
         "g_bfs": q_g_bfs,
@@ -1741,6 +1754,27 @@ def oracle_sql() -> dict[str, str]:
                                      WHERE r.d = s.id) THEN 'OUT'
                         ELSE 'OTHER' END AS component
             FROM scc s""",
+        "g_edge_support": f"""
+            WITH {_EDGES},
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst
+            ),
+            nbr AS (
+              SELECT a AS v, b AS n FROM und
+              UNION ALL
+              SELECT b AS v, a AS n FROM und
+            ),
+            sup AS (
+              SELECT u.a, u.b, count(*) AS c
+              FROM und u
+              JOIN nbr x ON x.v = u.a
+              JOIN nbr y ON y.v = u.b AND y.n = x.n
+              GROUP BY u.a, u.b
+            )
+            SELECT u.a AS a, u.b AS b,
+                   CAST(coalesce(s.c, 0) AS INTEGER) AS support
+            FROM und u LEFT JOIN sup s ON u.a = s.a AND u.b = s.b""",
         "g_condensation": f"""
             WITH RECURSIVE oe AS ({SQL_ORDSEQ_EDGES}),
             ov AS (SELECT DISTINCT id FROM

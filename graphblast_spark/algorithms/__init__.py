@@ -20,6 +20,7 @@ from graphblast_spark.algorithms.gc import (
 )
 from graphblast_spark.algorithms.hits import hits
 from graphblast_spark.algorithms.kcore import k_core
+from graphblast_spark.algorithms.ktruss import edge_triangle_support, k_truss
 from graphblast_spark.algorithms.linkpred import link_prediction_scores
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
@@ -61,6 +62,8 @@ __all__ = [
     "graph_coloring_spec",
     "hits",
     "k_core",
+    "k_truss",
+    "edge_triangle_support",
     "link_prediction_scores",
     "lgc",
     "closeness_centrality",

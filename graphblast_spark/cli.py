@@ -76,7 +76,7 @@ def main(argv=None) -> int:
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
                             "kcore", "closeness", "hits", "bc", "ppr",
-                            "scc", "bowtie", "anf", "trustrank", "spam-mass",
+                            "scc", "bowtie", "anf", "trustrank", "spam-mass", "ktruss",
                             "clean-corpus", "domain-pr", "redact-pii",
                             "boilerplate"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,val])")
@@ -308,6 +308,8 @@ def main(argv=None) -> int:
         seeds = [int(x) for x in args.seeds.split(",") if x != ""]
         out = A.personalized_pagerank(g, seeds, alpha=args.alpha,
                                       fixed_iters=args.niter or 10, runner=runner)
+    elif args.algorithm == "ktruss":
+        out = A.k_truss(g, k=args.k, runner=runner)
     elif args.algorithm == "scc":
         out = A.strongly_connected_components(g, runner=runner)
     elif args.algorithm == "bowtie":

@@ -160,3 +160,10 @@ def test_cli_redact_pii_and_boilerplate(spark, capsys, tmp_path):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows_out"] == 3
+
+
+def test_cli_ktruss(spark, capsys):
+    rc = main(["ktruss", "--fixture", "chesapeake", "--k", "3"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_out"] > 0
