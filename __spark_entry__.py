@@ -204,6 +204,23 @@ def q_g_pagerank(spark, sf_dir):
     return pr.select("id", F.round("val", 6).alias("pagerank"))
 
 
+def q_g_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank: transition mass α·val/out-strength with a
+    deterministic per-edge weight derived from (src, dst) — the kernel
+    the domain-rollup graph needs (its edge val counts aggregated page
+    links; cli.py domain-pr runs this variant)."""
+    from graphblast_spark.matrix import Graph
+
+    e = copurchase_edges(spark, sf_dir).select(
+        "src", "dst",
+        (((F.col("src") * 7 + F.col("dst")) % 5 + 1).cast("double")).alias("val"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    g = Graph.build(e, vertices=li.select(F.col("l_partkey").alias("id")).distinct())
+    pr = pagerank(g, fixed_iters=10, weighted=True)
+    return pr.select("id", F.round("val", 6).alias("pagerank"))
+
+
 def q_g_pagerank_dangling(spark, sf_dir):
     g = partsupp_graph(spark, sf_dir)
     pr = pagerank(g, fixed_iters=10)
@@ -1008,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_common_neighbors": q_g_common_neighbors,
         "g_trace": q_g_trace,
         "g_pagerank": q_g_pagerank,
+        "g_pagerank_weighted": q_g_pagerank_weighted,
         "g_pagerank_dangling": q_g_pagerank_dangling,
         "g_cc": q_g_cc,
         "g_scc": q_g_scc,
@@ -1682,6 +1700,29 @@ def oracle_sql() -> dict[str, str]:
             ew AS (
               SELECT e.src, e.dst, CAST(0.85 AS DOUBLE) / o.c AS w
               FROM edges e JOIN outdeg o ON e.src = o.id
+              UNION ALL
+              SELECT id, id, CAST(0.0 AS DOUBLE) FROM vertices
+            ),
+            pr(iter, id, val) AS (
+              SELECT 0, id, CAST(1.0 AS DOUBLE) / {n_expr} FROM vertices
+              UNION ALL
+              SELECT p.iter + 1, e.dst, CAST(0.15 AS DOUBLE) / {n_expr} + sum(e.w * p.val)
+              FROM pr p JOIN ew e ON p.id = e.src
+              WHERE p.iter < 10
+              GROUP BY p.iter, e.dst
+            )
+            SELECT id, round(val, 6) AS pagerank FROM pr WHERE iter = 10""",
+        "g_pagerank_weighted": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            we AS (
+              SELECT src, dst,
+                     CAST((src * 7 + dst) % 5 + 1 AS DOUBLE) AS v
+              FROM edges
+            ),
+            st AS (SELECT src AS id, sum(v) AS s FROM we GROUP BY src),
+            ew AS (
+              SELECT w.src, w.dst, CAST(0.85 AS DOUBLE) * w.v / st.s AS w
+              FROM we w JOIN st ON w.src = st.id
               UNION ALL
               SELECT id, id, CAST(0.0 AS DOUBLE) FROM vertices
             ),

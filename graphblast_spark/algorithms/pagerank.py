@@ -43,16 +43,29 @@ from graphblast_spark.runtime.superstep import (
 )
 
 
-def pagerank_prep(g: Graph, alpha: float = 0.85) -> DataFrame:
+def pagerank_prep(g: Graph, alpha: float = 0.85, weighted: bool = False) -> DataFrame:
     """The gpr.cu:81-90 prep, separable so benchmarks can time the
     iteration loop alone (run_pr.sh protocol: per-iteration ms):
-    A(s,d) := α / outdeg(s), hash-partitioned on src and persisted."""
+    A(s,d) := α / outdeg(s), hash-partitioned on src and persisted.
+
+    ``weighted=True`` uses the edge ``val`` column as link weight:
+    A(s,d) := α·val(s,d) / Σ_d' val(s,d') — the transition kernel for
+    weighted link graphs (e.g. domain-rollup edges whose val counts
+    aggregated page links, functions/urls.py domain_edges). Same plan
+    shape: the out-strength aggregate replaces the out-degree count."""
     spark = g.edges.sparkSession
-    deg = g.out_degrees()  # (id, val=outdeg) — only vertices with out-edges
+    if weighted:
+        deg = g.edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum("val").cast("double").alias("val")
+        )
+        w_num = g.edges["val"] * F.lit(alpha)
+    else:
+        deg = g.out_degrees()  # (id, val=outdeg) — only vertices with out-edges
+        w_num = F.lit(alpha)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     w_edges = (
         g.edges.join(deg, on=g.edges["src"] == deg["id"], how="inner")
-        .select(g.edges["src"], g.edges["dst"], (F.lit(alpha) / deg["val"]).alias("w"))
+        .select(g.edges["src"], g.edges["dst"], (w_num / deg["val"]).alias("w"))
         .repartition(n_part, "src")  # pin layout: stable src-hash across supersteps
         .persist()
     )
@@ -69,6 +82,7 @@ def pagerank(
     fixed_iters: int | None = None,
     w_edges: DataFrame | None = None,
     init_ranks: DataFrame | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Returns (id long, val double). ``fixed_iters`` skips the
     convergence action entirely (the reference benchmark mode,
@@ -89,7 +103,7 @@ def pagerank(
 
     caller_prep = w_edges is not None
     if w_edges is None:
-        w_edges = pagerank_prep(g, alpha)
+        w_edges = pagerank_prep(g, alpha, weighted=weighted)
 
     zeros = g.vertices.select("id", F.lit(0.0).alias("c"))
 
@@ -154,6 +168,7 @@ def personalized_pagerank(
     fixed_iters: int = 10,
     w_edges: DataFrame | None = None,
     runner: SuperstepRunner | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: the teleport mass (1-α) lands uniformly on
     the seed set S instead of all vertices; init = 1/|S| on S, 0
@@ -185,7 +200,7 @@ def personalized_pagerank(
 
     caller_prep = w_edges is not None
     if w_edges is None:
-        w_edges = pagerank_prep(g, alpha)
+        w_edges = pagerank_prep(g, alpha, weighted=weighted)
     if runner is None:
         runner = SuperstepRunner(spark)
 

@@ -246,8 +246,11 @@ def main(argv=None) -> int:
         )
         from graphblast_spark import algorithms as A
 
+        # weighted: the domain edge val counts aggregated page links —
+        # the transition kernel must honor it
         ranks = A.pagerank(g, alpha=args.alpha, eps=args.eps,
-                           fixed_iters=args.niter, runner=runner)
+                           fixed_iters=args.niter, runner=runner,
+                           weighted=True)
         out = ranks.join(id_map, "id").select(
             F.col("url").alias("domain"), F.col("val").alias("pagerank")
         )

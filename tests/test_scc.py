@@ -134,3 +134,28 @@ def test_condensation_crafted(spark):
     g = _graph(spark, [(0, 1), (0, 2), (1, 2), (2, 3), (3, 1), (3, 6)], 7)
     rows = {(r.src_scc, r.dst_scc): r.n_edges for r in condensation(g).collect()}
     assert rows == {(0, 1): 2, (1, 6): 1}
+
+
+def test_weighted_pagerank_reduces_to_unweighted_on_unit_weights(spark):
+    from graphblast_spark.algorithms.pagerank import pagerank
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (0, 2)], 3)
+    pu = {r.id: r.val for r in pagerank(g, fixed_iters=8).collect()}
+    pw = {r.id: r.val for r in pagerank(g, fixed_iters=8, weighted=True).collect()}
+    for v in pu:
+        assert abs(pu[v] - pw[v]) < 1e-12
+
+
+def test_weighted_pagerank_follows_heavy_edge(spark):
+    """0 splits rank 9:1 between 1 and 2 → 1 must outrank 2."""
+    from graphblast_spark.algorithms.pagerank import pagerank
+    from graphblast_spark.matrix import Graph
+
+    e = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, val double",
+    )
+    v = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    g = Graph.build(e, vertices=v)
+    pw = {r.id: r.val for r in pagerank(g, fixed_iters=20, weighted=True).collect()}
+    assert pw[1] > pw[2] * 3
