@@ -606,6 +606,29 @@ def q_g_anf(spark, sf_dir):
     return neighborhood_function_exact(g, max_t=6)
 
 
+def q_g_harmonic(spark, sf_dir):
+    """Exact out-harmonic centrality, distance-capped at 8, for every
+    vertex of the directed order-sequence graph — the oracle twin of
+    harmonic_centrality_hyperball (algorithms/anf.py; the sketch
+    variant is pytest-pinned within HLL error, tests/test_anf.py)."""
+    from graphblast_spark.algorithms.diameter import multi_source_bfs
+    from graphblast_spark.descriptor import DEFAULT_DESC
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    h = (
+        multi_source_bfs(g, g.vertices.select("id"),
+                         desc=DEFAULT_DESC.with_(max_niter=8))
+        .filter(F.col("depth") >= 1)
+        .groupBy(F.col("root").alias("id"))
+        .agg(F.sum(1.0 / F.col("depth")).alias("h"))
+    )
+    return (
+        g.vertices.join(h, "id", "left")
+        .select("id", F.round(F.coalesce("h", F.lit(0.0)), 6).alias("harmonic"))
+    )
+
+
 def q_g_spam_mass(spark, sf_dir):
     """TrustRank + relative spam mass (Gyöngyi et al. 2004/2006) on
     the copurchase graph with the 4 lowest-id vertices as the trusted
@@ -1068,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
         "g_anf": q_g_anf,
+        "g_harmonic": q_g_harmonic,
         "d_token_count": q_d_token_count,
         "d_quality": q_d_quality,
         "d_lang_id": q_d_lang_id,
@@ -1988,6 +2012,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(g.t AS INTEGER) AS t, count(*) AS n_pairs
             FROM grid g JOIN dist ON dist.d <= g.t
             GROUP BY g.t""",
+        "g_harmonic": f"""
+            WITH RECURSIVE oe AS ({SQL_ORDSEQ_EDGES}),
+            ov AS (SELECT DISTINCT id FROM
+                   (SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe)),
+            w(s, v, t) AS (
+              SELECT id, id, 0 FROM ov
+              UNION
+              SELECT w.s, e.dst, w.t + 1 FROM w JOIN oe e ON w.v = e.src
+              WHERE w.t < 8
+            ),
+            dist AS (
+              SELECT s, v, min(t) AS d FROM w GROUP BY s, v HAVING min(t) >= 1
+            ),
+            h AS (
+              SELECT s AS id, sum(1.0 / CAST(d AS DOUBLE)) AS h
+              FROM dist GROUP BY s
+            )
+            SELECT v.id AS id, round(coalesce(h.h, 0.0), 6) AS harmonic
+            FROM ov v LEFT JOIN h ON v.id = h.id""",
         "g_spam_mass": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},
             outdeg AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),

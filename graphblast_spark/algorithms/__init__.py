@@ -26,6 +26,7 @@ from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
 from graphblast_spark.algorithms.anf import (
     effective_diameter,
+    harmonic_centrality_hyperball,
     hyperball,
     neighborhood_function_exact,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "hyperball",
     "neighborhood_function_exact",
     "effective_diameter",
+    "harmonic_centrality_hyperball",
     "label_propagation_majority",
     "label_propagation_min",
     "triangle_count",

@@ -141,3 +141,85 @@ def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
             return prev_t + (target - prev_n) / (n - prev_n) * (t - prev_t)
         prev_t, prev_n = t, n
     return float(pts[-1][0])
+
+
+def harmonic_centrality_hyperball(
+    g: Graph,
+    max_t: int = 32,
+    lg_config_k: int = 12,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Approximate harmonic closeness for EVERY vertex — the actual
+    headline application of HyperBall (Boldi & Vigna 2014 compute
+    exactly this on billion-node crawls): harmonic(v) =
+    Σ_{u≠v} 1/d(v,u) = Σ_t (|B(v,t)| − |B(v,t−1)|) / t, with ball
+    sizes replaced by per-vertex HLL estimates. One pass, O(|V|)
+    state — unlike the exact closeness_centrality (diameter.py), which
+    is all-pairs BFS and only feasible for sampled roots.
+
+    NOTE direction: |B(v,t)| counts vertices REACHABLE FROM v (out-
+    balls), so this is harmonic centrality of v as a *source*; run on
+    ``g.reverse()``-style swapped edges for the inbound variant.
+    Accuracy: each per-vertex estimate carries the HLL relative error
+    (~1.04/√2^lg_k), and the telescoped differences are noisier than
+    the sums — pytest pins a 20% per-vertex tolerance against the
+    exact MSBFS answer on the sandbox fixture (Boldi-Vigna report
+    the same caveat and recommend lg_k ≥ 10 for rank fidelity).
+
+    Returns (id long, harmonic double)."""
+    spark = g.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = g.edges.select("src", "dst").repartition(n_part, "src").persist()
+    e.count()
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    counters = (
+        g.vertices.groupBy("id")
+        .agg(F.hll_sketch_agg("id", F.lit(lg_config_k)).alias("sk"))
+        .withColumn("est", F.hll_sketch_estimate("sk"))
+        .withColumn("harmonic", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+
+    def total(c: DataFrame) -> float:
+        return float(c.agg(F.sum("est")).first()[0])
+
+    prev_total = total(counters)
+    with stable_partitions(spark):
+        for t in range(1, max_t + 1):
+            cs = counters.hint("shuffle_hash")
+            gathered = (
+                e.join(cs, e["dst"] == cs["id"], "inner")
+                .select(e["src"].alias("id"), cs["sk"].alias("sk"))
+            )
+            unioned = (
+                gathered.unionByName(counters.select("id", "sk"))
+                .groupBy("id")
+                .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
+                .withColumn("est_new", F.hll_sketch_estimate("sk"))
+            )
+            counters = (
+                unioned.join(
+                    counters.select("id", F.col("est").alias("est_old"), "harmonic"),
+                    "id",
+                )
+                .select(
+                    "id", "sk",
+                    F.col("est_new").alias("est"),
+                    (
+                        F.col("harmonic")
+                        + F.greatest(
+                            F.col("est_new") - F.col("est_old"), F.lit(0.0)
+                        ) / F.lit(float(t))
+                    ).alias("harmonic"),
+                )
+                .localCheckpoint(eager=True)  # superstep action
+            )
+            cur = total(counters)
+            runner.commit(t - 1, {}, metrics={"t": t, "n_pairs": cur})
+            if cur == prev_total:  # all balls saturated
+                break
+            prev_total = cur
+    e.unpersist()
+    return counters.select("id", F.round("harmonic", 6).alias("harmonic"))

@@ -76,7 +76,7 @@ def main(argv=None) -> int:
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
                             "kcore", "closeness", "hits", "bc", "ppr",
-                            "scc", "bowtie", "anf", "trustrank", "spam-mass", "ktruss",
+                            "scc", "bowtie", "anf", "harmonic", "trustrank", "spam-mass", "ktruss",
                             "clean-corpus", "domain-pr", "redact-pii",
                             "boilerplate"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,val])")
@@ -323,6 +323,10 @@ def main(argv=None) -> int:
         else:
             out = A.hyperball(g, max_t=args.max_t, lg_config_k=args.lg_k,
                               runner=runner)
+    elif args.algorithm == "harmonic":
+        out = A.harmonic_centrality_hyperball(g, max_t=args.max_t,
+                                              lg_config_k=args.lg_k,
+                                              runner=runner)
     elif args.algorithm == "trustrank":
         seeds = [int(x) for x in args.seeds.split(",") if x != ""]
         out = A.trustrank(g, seeds, alpha=args.alpha,

@@ -55,3 +55,41 @@ def test_effective_diameter_interpolates(spark):
     # target 9.0 pairs is hit exactly at t=2 → eff diameter 2.0
     assert abs(d - 2.0) < 1e-9
     assert effective_diameter(nf, q=1.0) == 3.0
+
+
+def test_harmonic_hyperball_on_path(spark):
+    from graphblast_spark.algorithms.anf import harmonic_centrality_hyperball
+
+    # path 0→1→2→3 (out-harmonic): h(0)=1+1/2+1/3, h(1)=1+1/2, h(2)=1, h(3)=0
+    h = {r.id: r.harmonic for r in
+         harmonic_centrality_hyperball(_path_graph(spark, 4), max_t=5).collect()}
+    # tiny cardinalities → HLL exact mode → values exact
+    assert abs(h[0] - (1 + 0.5 + 1 / 3)) < 1e-6
+    assert abs(h[1] - 1.5) < 1e-6
+    assert abs(h[2] - 1.0) < 1e-6
+    assert h[3] == 0.0
+
+
+def test_harmonic_hyperball_vs_exact_msbfs(spark):
+    import pyspark.sql.functions as F
+
+    from graphblast_spark.algorithms.anf import harmonic_centrality_hyperball
+    from graphblast_spark.algorithms.diameter import multi_source_bfs
+
+    g = ordseq_graph(spark, SF_DIR)
+    exact = {
+        r.root: r.h
+        for r in multi_source_bfs(g, g.vertices.select("id"))
+        .filter(F.col("depth") >= 1)
+        .groupBy("root")
+        .agg(F.sum(1.0 / F.col("depth")).alias("h"))
+        .collect()
+    }
+    approx = {r.id: r.harmonic for r in
+              harmonic_centrality_hyperball(g, max_t=16).collect()}
+    checked = 0
+    for v, hx in exact.items():
+        if hx >= 1.0:  # skip near-zero scores where rel error is meaningless
+            assert abs(approx[v] - hx) / hx < 0.2, (v, approx[v], hx)
+            checked += 1
+    assert checked > 50

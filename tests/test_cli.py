@@ -167,3 +167,10 @@ def test_cli_ktruss(spark, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows_out"] > 0
+
+
+def test_cli_harmonic(spark, capsys):
+    rc = main(["harmonic", "--fixture", "chesapeake", "--max-t", "4"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_out"] > 0
