@@ -16,6 +16,7 @@ sides (float64 noise ≪ 1e-6, SURVEY §7.3.1).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1030,8 +1031,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_g_pagerank(spark, "/root/testdata/sf0.001")
 
 
+def _stale_first(reg: dict) -> dict:
+    """Reorder the contract-query registry stale-first so the driver's
+    bounded per-round sweep (50 queries, registry order) re-attests
+    every query within two rounds: never-attested queries first, then
+    by oldest last-attested round, original order as the tiebreak.
+    Reads the repo's own CORRECTNESS_r*.json artifacts; with none
+    present the order is unchanged. (VERDICT r3 process defect #4:
+    24 queries had never had a driver row and 2 stale r1 FAILs sat
+    unre-attested after they were fixed.)"""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        rows = data.get("queries", data) if isinstance(data, dict) else {}
+        for k in rows:
+            last[k] = max(last.get(k, -1), rnd)
+    names = list(reg)
+    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], -1), i))
+    return {names[i]: reg[names[i]] for i in order}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _stale_first({
         "g_build": q_g_build,
         "g_degrees": q_g_degrees,
         "g_vecmat_spmv": q_g_vecmat_spmv,
@@ -1125,7 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_user_stats": q_events_user_stats,
         "q_events_sessions": q_events_sessions,
         "q_lineitem_agg": q_lineitem_agg,
-    }
+    })
 
 
 # ----------------------------------------------------------------------
@@ -1221,11 +1251,12 @@ def _sql_clean_corpus() -> str:
     WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5),
     tk AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t,
+             list_sort(list_filter(string_split(text, chr(10)), x -> x <> '')) AS l
       FROM docs0
     ),
     sig AS (
-      SELECT doc_id, text, t,
+      SELECT doc_id, text, t, l,
         CASE WHEN length(text) > 0
              THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
                   / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
@@ -1240,7 +1271,7 @@ def _sql_clean_corpus() -> str:
       FROM tk
     ),
     sig2 AS (
-      SELECT doc_id, text, t, g2,
+      SELECT doc_id, text, t, l, g2,
         round(least(len(t) / CAST(100.0 AS DOUBLE), 1.0) * 0.4
               + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
               + least(stop_ratio * 4, 1.0) * 0.3, 6) AS quality,
@@ -1256,7 +1287,14 @@ def _sql_clean_corpus() -> str:
       SELECT doc_id, text, t,
         CASE WHEN lang_pred NOT IN ('en','und') THEN 'lang'
              WHEN quality < 0.5 THEN 'quality'
-             WHEN (CASE WHEN coalesce(list_sum(list_transform(g2, x -> length(x))), 0) > 0
+             WHEN (CASE WHEN len(l) > 0 THEN round(
+                     len(list_filter(list_transform(generate_series(1, len(l)),
+                       i -> CASE WHEN (i > 1 AND l[i] = l[i-1])
+                                   OR (i < len(l) AND l[i] = l[i+1])
+                            THEN l[i] END), x -> x IS NOT NULL))
+                     / CAST(len(l) AS DOUBLE), 6)
+                   ELSE 0.0 END) > 0.3
+               OR (CASE WHEN coalesce(list_sum(list_transform(g2, x -> length(x))), 0) > 0
                    THEN round(coalesce(list_sum(list_transform(d2, x -> length(x))), 0)
                         / CAST(list_sum(list_transform(g2, x -> length(x))) AS DOUBLE), 6)
                    ELSE 0.0 END) > 0.5 THEN 'repetition'

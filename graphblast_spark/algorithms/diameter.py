@@ -37,7 +37,11 @@ def _auto_root_batch(root_batch, n_vertices: int) -> int | None:
     stats, not on request); None disables batching; an int is explicit."""
     if root_batch == "auto":
         return max(1, ROOT_PAIR_BUDGET // max(n_vertices, 1))
-    return root_batch
+    if root_batch is None or isinstance(root_batch, int):
+        return root_batch
+    raise ValueError(
+        f"root_batch must be 'auto', None, or an int; got {root_batch!r}"
+    )
 
 
 def _batched_roots(roots: DataFrame, batch: int, col: str) -> DataFrame:

@@ -107,5 +107,13 @@ def k_truss(
                 return keep
             und = keep.select("a", "b")
             n_edges = n_keep
+    if n_edges > 0:
+        # A pathological peel can remove one edge per round; silently
+        # returning the empty frame here would misreport a non-empty
+        # truss as empty. Fail loudly instead.
+        raise RuntimeError(
+            f"k_truss did not converge within max_rounds={max_rounds} "
+            f"({n_edges} edges still unsettled); raise max_rounds"
+        )
     # empty truss: preserve the output schema
     return und.limit(0).withColumn("support", F.lit(0))

@@ -111,9 +111,17 @@ def _max_coloring(
         )
         cur = _sum_witness(color, "val")
         if cur == prev:
-            break
+            return color
         prev = cur
-    return color
+    # The witness still moved on the last allowed superstep: a
+    # non-converged coloring would split a long-diameter SCC into
+    # fragments with DIFFERENT scc_ids, silently — the outer loop can
+    # still "terminate". Fail loudly like the outer max_rounds path.
+    raise RuntimeError(
+        f"_max_coloring did not reach its fixpoint within "
+        f"max_inner={max_inner} supersteps (color-class diameter "
+        f"exceeds the cap); raise max_inner"
+    )
 
 
 def strongly_connected_components(

@@ -339,8 +339,11 @@ def token_window_spans(
     windows; a smaller stride overlaps windows and catches spans that
     straddle a window boundary at proportional cost). Docs shorter
     than one window contribute their whole text as a single span; the
-    trailing partial window is dropped (its tokens are covered by the
-    stride-aligned windows for stride ≤ span_tokens)."""
+    trailing partial window is DROPPED — up to ``stride - 1`` trailing
+    tokens of every doc ≥ span_tokens land in no window (full tail
+    coverage holds only as stride → 1). Consumers inherit that tail
+    loss: ``remove_boilerplate``'s text rebuild and
+    ``span_dedup_stats``'s denominator both exclude those tokens."""
     if stride is None:
         stride = span_tokens
     toks = tokens(F.col(text_col))

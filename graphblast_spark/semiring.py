@@ -70,7 +70,9 @@ MONOIDS: dict[str, Monoid] = {
     m.name: m
     for m in [
         Monoid("Plus", F.sum, lambda a, b: a + b, 0.0),
-        Monoid("Multiplies", lambda c: F.exp(F.sum(F.log(c))), lambda a, b: a * b, 1.0),
+        # F.product (Spark >= 3.2) is exact for zeros/negatives; the old
+        # exp(sum(log)) formulation was wrong for any non-positive input.
+        Monoid("Multiplies", F.product, lambda a, b: a * b, 1.0),
         Monoid("Minimum", F.min, F.least, _INF),
         Monoid("Maximum", F.max, F.greatest, -_INF),
         Monoid("LogicalOr", _bool_or_agg, lambda a, b: a | b, False),

@@ -318,6 +318,17 @@ def test_msbfs_root_batching_exact(spark):
     g.unpersist()
 
 
+def test_root_batch_knob_validated(spark):
+    """A typo'd root_batch string must fail fast with a named ValueError,
+    not an opaque TypeError deep in the sweep (ADVICE r3)."""
+    from graphblast_spark.algorithms.diameter import multi_source_bfs
+
+    g = fixture_graph(spark, "test_cc")
+    with pytest.raises(ValueError, match="root_batch"):
+        multi_source_bfs(g, [0], root_batch="Auto")
+    g.unpersist()
+
+
 def test_auto_root_batch_sizing():
     from graphblast_spark.algorithms.diameter import ROOT_PAIR_BUDGET, _auto_root_batch
 

