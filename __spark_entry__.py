@@ -127,6 +127,17 @@ def q_g_vecmat_kernel(spark, sf_dir):
     return out.select("id", F.round("val", 6).alias("val"))
 
 
+def q_g_accum_vxm(spark, sf_dir):
+    # first-class GraphBLAS merge-on-write: w accum(+)= u·A
+    # (reference operations.hpp:14-19; exercised by lgc.hpp:126-128)
+    g = copurchase_graph(spark, sf_dir)
+    w_old = g.vertices.filter(F.col("id") % 2 == 0).select(
+        "id", ((F.col("id") % 5) + 100).cast("double").alias("val")
+    )
+    out = vxm(_u_mod7(g), g, "PlusMultiplies", u_nvals=g.n, accum="plus", w=w_old)
+    return out.select("id", F.round("val", 6).alias("val"))
+
+
 def q_g_vecmat_minplus(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     u = g.vertices.select("id", (F.col("id") % 100).cast("double").alias("val"))
@@ -968,6 +979,14 @@ def q_d_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir), bits=60)
 
 
+def q_d_simhash_hamming(spark, sf_dir):
+    # Manku/Jain/Sarma WWW'07 tier: banded pigeonhole self-join finds
+    # every fingerprint pair within Hamming distance 3, exactly.
+    from graphblast_spark.functions.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_docs(spark, sf_dir), bits=60, max_hamming=3)
+
+
 def q_d_dedup_clusters(spark, sf_dir):
     # full pipeline: minhash → LSH → jaccard verify → CC over the
     # dup-pair graph (near-duplication isn't transitive; clusters are)
@@ -1066,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_degrees": q_g_degrees,
         "g_vecmat_spmv": q_g_vecmat_spmv,
         "g_vecmat_kernel": q_g_vecmat_kernel,
+        "g_accum_vxm": q_g_accum_vxm,
         "g_vecmat_minplus": q_g_vecmat_minplus,
         "g_vecmat_masked": q_g_vecmat_masked,
         "g_ewise_mult": q_g_ewise_mult,
@@ -1142,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh": q_d_minhash_lsh,
         "d_jaccard": q_d_jaccard,
         "d_simhash": q_d_simhash,
+        "d_simhash_hamming": q_d_simhash_hamming,
         "d_dedup_clusters": q_d_dedup_clusters,
         "e_knn_cosine": q_e_knn_cosine,
         "e_ivf_knn": q_e_ivf_knn,
@@ -1232,6 +1253,45 @@ th AS (
   FROM toks
 )
 SELECT doc_id, ({votes}) AS simhash FROM th
+"""
+
+
+def _sql_simhash_hamming(bits: int = 60, max_hamming: int = 3) -> str:
+    """Replay of dedup.py simhash_hamming_pairs: same fingerprints as
+    _sql_simhash, banded into max_hamming+1 contiguous bit slices, a
+    per-band self-join (the pigeonhole probe), bit_count(xor) verify."""
+    nbands = max_hamming + 1
+    w = bits // nbands
+    widths = [w] * (nbands - 1) + [bits - w * (nbands - 1)]
+    band_case = " ".join(
+        f"WHEN {i} THEN (simhash >> {w * i}) & {(1 << wd) - 1}"
+        for i, wd in enumerate(widths)
+    )
+    votes = "\n      + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH {_TOKS},
+th AS (
+  SELECT doc_id,
+         list_transform(list_distinct(t),
+                        x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+  FROM toks
+),
+sh AS (SELECT doc_id, ({votes}) AS simhash FROM th),
+bd AS (
+  SELECT doc_id, simhash, i AS band,
+         CASE i {band_case} END AS bval
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {nbands - 1})) AS i)
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM bd l JOIN bd r
+  ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
 """
 
 
@@ -1709,6 +1769,19 @@ def oracle_sql() -> dict[str, str]:
             WITH {_EDGES}
             SELECT dst AS id, round(sum(CAST((src % 7) + 1 AS DOUBLE) * 1.0), 6) AS val
             FROM edges GROUP BY dst""",
+        "g_accum_vxm": f"""
+            WITH {_EDGES}, {_VERTICES},
+            t AS (
+              SELECT dst AS id, sum(CAST((src % 7) + 1 AS DOUBLE) * 1.0) AS val
+              FROM edges GROUP BY dst),
+            w AS (
+              SELECT id, CAST((id % 5) + 100 AS DOUBLE) AS val
+              FROM vertices WHERE id % 2 = 0)
+            SELECT coalesce(w.id, t.id) AS id,
+                   round(CASE WHEN w.val IS NOT NULL AND t.val IS NOT NULL
+                              THEN w.val + t.val
+                              ELSE coalesce(t.val, w.val) END, 6) AS val
+            FROM w FULL OUTER JOIN t ON w.id = t.id""",
         "g_vecmat_minplus": f"""
             WITH {_EDGES}
             SELECT dst AS id, round(min(CAST(src % 100 AS DOUBLE) + 1.0), 6) AS val
@@ -2698,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.2""",
         "d_simhash": _sql_simhash(60),
+        "d_simhash_hamming": _sql_simhash_hamming(60, 3),
         # pipeline: same CTEs as d_jaccard, then min-label CC to fixpoint
         # over verified pairs (symmetric + self edges); 20 unrolled
         # rounds ≫ any LSH cluster's diameter at test scale. The filter

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
+from graphblast_spark.operators.vecmat import vxm
 from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
 
 
@@ -91,27 +92,21 @@ def lgc(
 
             # halved residual on frontier; r2 = r/d on frontier
             f_push = f.filter(F.col("d") > 0).select(
-                "id", (F.lit((1.0 - alpha) / 2.0) * F.col("r") / F.col("d")).alias("r2")
+                "id", (F.lit((1.0 - alpha) / 2.0) * F.col("r") / F.col("d")).alias("val")
             )
             bcast = n_f / max(g.n, 1) <= desc.switchpoint
-            fp = F.broadcast(f_push) if bcast else f_push.hint("shuffle_hash")
-            spread = (
-                g.edges.join(fp, on=g.edges["src"] == fp["id"], how="inner")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("r2") * F.col("val")).alias("dr"))
-            )
 
-            # r' = (old r with frontier rows halved) + spread
+            # r ⟵ (old r with frontier rows halved) accum(+)= Aᵀ·r2 —
+            # the reference's accum-mxv (lgc.hpp:126-128), first-class:
+            # vxm handles push/pull by u_nvals vs switchpoint and merges
+            # into the old vector with accum="plus" (operators/accum.py).
             r_kept = r.join(f.select("id"), on="id", how="left_anti")
             r_half = f.select("id", (F.lit((1.0 - alpha) / 2.0) * F.col("r")).alias("r"))
-            r = (
-                r_kept.unionByName(r_half)
-                .join(spread, on="id", how="full")
-                .select(
-                    "id",
-                    (F.coalesce("r", F.lit(0.0)) + F.coalesce("dr", F.lit(0.0))).alias("r"),
-                )
-            )
+            r_base = r_kept.unionByName(r_half).select("id", F.col("r").alias("val"))
+            r = vxm(
+                f_push, g, "PlusMultiplies", desc=desc, u_nvals=n_f,
+                accum="plus", w=r_base,
+            ).select("id", F.col("val").alias("r"))
             state = runner.truncate({"p": p, "r": r})
             p, r = state["p"], state["r"]
             f.unpersist()

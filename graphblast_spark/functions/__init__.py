@@ -14,6 +14,8 @@ from graphblast_spark.functions.dedup import (
     ngram_jaccard_pairs,
     paragraph_spans,
     simhash64,
+    simhash_hamming_clusters,
+    simhash_hamming_pairs,
     span_dedup_stats,
     token_window_spans,
 )
@@ -35,7 +37,7 @@ __all__ = [
     "add_fingerprint", "add_lang_id", "add_quality", "add_token_count",
     "add_repetition_signals", "top_ngram_char_frac",
     "exact_duplicate_groups", "lsh_candidate_pairs", "minhash_signature",
-    "ngram_jaccard_pairs", "simhash64",
+    "ngram_jaccard_pairs", "simhash64", "simhash_hamming_pairs", "simhash_hamming_clusters",
     "paragraph_spans", "token_window_spans", "duplicate_spans", "span_dedup_stats",
     "hash_split", "ngram_contamination", "stratified_sample",
     "brute_force_topk", "ivf_topk",

@@ -222,40 +222,12 @@ def near_duplicate_clusters(
     |pairs| edges, minuscule next to the corpus — while the vertex set
     stays the full corpus so singletons keep their own cluster.
     """
-    from graphblast_spark.algorithms.cc import connected_components
-    from graphblast_spark.matrix import Graph
-
     sigs = minhash_signature(docs, id_col, text_col, k=k, n_words=n_words)
     pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     verified = ngram_jaccard_pairs(
         docs, pairs, id_col, text_col, n_words=n_words, threshold=threshold
     ).localCheckpoint(eager=True)  # feeds both the CC vertex set and edges
-    # CC iterates ONLY over docs that occur in a verified pair: at corpus
-    # scale the overwhelming majority of docs pair with nothing, and
-    # looping them through every CC superstep would shuffle the full
-    # corpus per round. Unpaired docs are trivially their own cluster —
-    # emitted by the left join below without ever entering the loop.
-    if not verified.head(1):  # no near-dups anywhere: all singletons
-        return docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(id_col).alias("cluster_id"),
-            F.lit(True).alias("is_canonical"),
-        )
-    edges = verified.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("val")
-    )
-    g = Graph.build(edges, symmetrize=True)  # vertices = paired docs only
-    cc = connected_components(g)  # localCheckpointed → safe to release g
-    g.unpersist()
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_canonical"),
-        )
-    )
+    return _clusters_from_pairs(docs, id_col, verified)
 
 
 def simhash64(
@@ -282,6 +254,119 @@ def simhash64(
         bit = F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, hamming): doc pairs whose simhash fingerprints differ in
+    at most ``max_hamming`` bits — the production simhash tier
+    (Manku, Jain, Sarma WWW'07 "Detecting Near-Duplicates for Web
+    Crawling"): exact-fingerprint grouping misses the whole point of
+    simhash, which is that NEAR-duplicate text lands a FEW bits apart.
+
+    Pigeonhole banding: the fingerprint splits into ``max_hamming + 1``
+    contiguous bit bands; two fingerprints within Hamming distance k
+    agree exactly on ≥ 1 of the k+1 bands, so a per-band self-join on
+    (band index, band value) finds every such pair with zero false
+    negatives; ``bit_count(a XOR b) <= k`` then verifies exactly.
+    (The WWW'07 paper permutes/rotates tables to keep each probe's
+    candidate list tiny at 8B docs; with Spark the band self-join IS
+    the table probe, executed as one shuffle on uniform band keys.)
+
+    At 10^12 docs: the join key space is 2^15 per band (k=3, 60 bits),
+    so band buckets are corpus/2^15-sized on random text — the
+    candidate set is Σ|bucket|² per band, the same bounded-bucket
+    shape as the MinHash LSH tier, NOT all-pairs. ``sigs`` short-cuts
+    recomputation when the caller already has simhash64 output."""
+    nbands = max_hamming + 1
+    if bits // nbands == 0:
+        raise ValueError(f"bits={bits} too small for max_hamming={max_hamming}")
+    sh = sigs if sigs is not None else simhash64(docs, id_col, text_col, bits=bits)
+    w = bits // nbands
+    widths = [w] * (nbands - 1) + [bits - w * (nbands - 1)]
+    offs = [w * i for i in range(nbands)]
+    band_vals = F.array(*[
+        F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << wd) - 1).cast("long"))
+        for off, wd in zip(offs, widths)
+    ])
+    banded = sh.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            "inner",
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()  # a pair can agree on several bands
+    )
+
+
+def simhash_hamming_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical): connected components over
+    the Hamming-≤k simhash pair graph — same output contract (and the
+    same dup-pair-graph-only CC) as :func:`near_duplicate_clusters`,
+    with simhash banding instead of MinHash LSH as the candidate
+    generator. Hamming proximity is not transitive, hence the CC
+    closure; cluster_id = min doc_id, is_canonical marks the keeper."""
+    pairs = simhash_hamming_pairs(
+        docs, id_col, text_col, bits=bits, max_hamming=max_hamming
+    ).localCheckpoint(eager=True)
+    return _clusters_from_pairs(docs, id_col, pairs)
+
+
+def _clusters_from_pairs(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) from a verified (a, b) pair
+    set: FastSV CC over the pair graph ONLY (singletons never enter the
+    superstep loop — at corpus scale almost every doc pairs with
+    nothing), then a left join hands every unpaired doc its own
+    cluster. Shared by the MinHash and simhash-Hamming tiers."""
+    from graphblast_spark.algorithms.cc import connected_components
+    from graphblast_spark.matrix import Graph
+
+    if not pairs.head(1):  # no near-dups anywhere: all singletons
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("val")
+    )
+    g = Graph.build(edges, symmetrize=True)  # vertices = paired docs only
+    cc = connected_components(g)  # localCheckpointed → safe to release g
+    g.unpersist()
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
 
 
 # ----------------------------------------------------------------------

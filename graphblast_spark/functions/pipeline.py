@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from graphblast_spark.functions.dedup import (
     near_duplicate_clusters,
     simhash64,
+    simhash_hamming_clusters,
     span_dedup_stats,
 )
 from graphblast_spark.functions.sampling import hash_split, ngram_contamination
@@ -122,8 +123,19 @@ def clean_corpus(
             sh.join(shc, "simhash").filter(F.col("doc_id") != F.col("c")).select("doc_id"),
             "near_dup",
         )
+    elif near_dup == "simhash_hamming":
+        # Manku/Jain/Sarma WWW'07 production tier: fingerprints within
+        # Hamming distance ≤3 cluster together (CC closure — proximity
+        # is not transitive); non-canonical members rejected.
+        cl = simhash_hamming_clusters(_survivors())
+        verdicts = _reject(
+            cl.filter(~F.col("is_canonical")).select("doc_id"), "near_dup"
+        )
     elif near_dup is not None:
-        raise ValueError(f"near_dup must be 'clusters', 'simhash' or None: {near_dup!r}")
+        raise ValueError(
+            "near_dup must be 'clusters', 'simhash', 'simhash_hamming' "
+            f"or None: {near_dup!r}"
+        )
 
     # -- stage 6: span-level dedup among survivors ------------------------
     spans = span_dedup_stats(_survivors(), span_tokens=span_tokens)

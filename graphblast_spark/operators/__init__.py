@@ -1,3 +1,4 @@
+from graphblast_spark.operators.accum import accum_merge
 from graphblast_spark.operators.vecmat import vxm, mxv, apply_vxm
 from graphblast_spark.operators.kernel import mxv_arrow, vxm_arrow
 from graphblast_spark.operators.ewise import (
@@ -30,6 +31,7 @@ from graphblast_spark.operators.assign import (
 from graphblast_spark.operators.spgemm import mxm, mxm_masked, trace_mxm_transpose
 
 __all__ = [
+    "accum_merge",
     "vxm", "mxv", "apply_vxm", "vxm_arrow", "mxv_arrow",
     "apply_unary", "ewise_add", "ewise_add_matrix", "ewise_add_scalar",
     "ewise_mult", "ewise_mult_scalar",

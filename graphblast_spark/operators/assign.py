@@ -22,17 +22,21 @@ def assign_masked_constant(
     mask: DataFrame,
     c,
     mask_complement: bool = False,
+    replace: bool = False,
 ) -> DataFrame:
     """w[all]⟨mask⟩ = c — the frontier-filter primitive (reference
     operations.hpp:502-530; BFS depth-marking bfs.hpp:65-66).
 
     Rows of ``w`` whose id is in ``mask`` (or NOT in it, when
-    complemented) get value ``c``; others keep their value.
-    """
+    complemented) get value ``c``; others keep their value — unless
+    ``replace`` (GrB_REPLACE, types.hpp:44-78): then rows outside the
+    writable region are dropped instead of kept."""
     m = mask.select("id").withColumn("__hit", F.lit(True))
     joined = w.alias("w").join(m, on="id", how="left")
     hit = F.col("__hit").isNotNull()
     cond = ~hit if mask_complement else hit
+    if replace:
+        return joined.filter(cond).select("id", F.lit(c).alias("val"))
     return joined.select("id", F.when(cond, F.lit(c)).otherwise(F.col("w.val")).alias("val"))
 
 

@@ -18,6 +18,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graphblast_spark.operators.accum import accum_merge
 from graphblast_spark.semiring import Semiring, semiring as _resolve
 
 
@@ -34,16 +35,22 @@ def ewise_mult(
     sr: Semiring | str = "PlusMultiplies",
     mask: DataFrame | None = None,
     mask_complement: bool = False,
+    accum=None,
+    w: DataFrame | None = None,
+    replace: bool = False,
 ) -> DataFrame:
     """w = u ⊗ v on the intersection of structures — reference
-    operations.hpp:135-158 → ewisemult.hpp. Inner join on id."""
+    operations.hpp:135-158 → ewisemult.hpp. Inner join on id.
+    ``accum``/``w``/``replace``: GraphBLAS merge-on-write (accum.py)."""
     sr = _resolve(sr)
     uu, vv = u.alias("u"), v.alias("v")
     out = uu.join(vv, on=F.col("u.id") == F.col("v.id"), how="inner").select(
         F.col("u.id").alias("id"),
         sr.mul(F.col("u.val"), F.col("v.val")).alias("val"),
     )
-    return _mask_join(out, mask, mask_complement)
+    out = _mask_join(out, mask, mask_complement)
+    return accum_merge(w, out, accum=accum, mask=mask,
+                       mask_complement=mask_complement, replace=replace)
 
 
 def ewise_add(
@@ -52,9 +59,13 @@ def ewise_add(
     sr: Semiring | str = "PlusMultiplies",
     mask: DataFrame | None = None,
     mask_complement: bool = False,
+    accum=None,
+    w: DataFrame | None = None,
+    replace: bool = False,
 ) -> DataFrame:
     """w = u ⊕ v on the union of structures (missing side = ⊕-identity)
-    — reference operations.hpp:275-299 → ewiseadd.hpp. Full outer join."""
+    — reference operations.hpp:275-299 → ewiseadd.hpp. Full outer join.
+    ``accum``/``w``/``replace``: GraphBLAS merge-on-write (accum.py)."""
     sr = _resolve(sr)
     ident = F.lit(sr.identity)
     uu, vv = u.alias("u"), v.alias("v")
@@ -64,7 +75,9 @@ def ewise_add(
             F.coalesce(F.col("u.val"), ident), F.coalesce(F.col("v.val"), ident)
         ).alias("val"),
     )
-    return _mask_join(out, mask, mask_complement)
+    out = _mask_join(out, mask, mask_complement)
+    return accum_merge(w, out, accum=accum, mask=mask,
+                       mask_complement=mask_complement, replace=replace)
 
 
 def ewise_add_matrix(a, b, sr: Semiring | str = "PlusMultiplies") -> DataFrame:

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor, MxvMode
 from graphblast_spark.matrix import Graph
+from graphblast_spark.operators.accum import accum_merge
 from graphblast_spark.semiring import Semiring, semiring as _resolve
 
 
@@ -65,6 +66,8 @@ def _vecmat(
     u_nvals: int | None,
     vec_first: bool,
     salt: int | str | None = "auto",
+    accum=None,
+    w: DataFrame | None = None,
 ) -> DataFrame:
     sr = _resolve(sr)
     edges = g.edges
@@ -126,7 +129,12 @@ def _vecmat(
             out = partial.groupBy("id").agg(sr.add_agg(F.col("p")).alias("val"))
         else:
             out = rows.groupBy("id").agg(sr.add_agg(F.col("p")).alias("val"))
-    return _apply_mask(out, mask, desc.mask_complement)
+    out = _apply_mask(out, mask, desc.mask_complement)
+    # GraphBLAS write-back: C⟨M, replace⟩ accum= T (operations.hpp:14-19).
+    return accum_merge(
+        w, out, accum=accum, mask=mask,
+        mask_complement=desc.mask_complement, replace=desc.replace,
+    )
 
 
 def vxm(
@@ -137,12 +145,20 @@ def vxm(
     desc: Descriptor = DEFAULT_DESC,
     u_nvals: int | None = None,
     salt: int | str | None = "auto",
+    accum=None,
+    w: DataFrame | None = None,
 ) -> DataFrame:
     """w(dst)⟨mask⟩ = ⊕_src u(src) ⊗ A(src,dst) — reference operations.hpp:51-87.
     ``salt``: two-phase salted reduce for extreme hub keys; the default
     ``"auto"`` derives it from the graph's cached degree stats vs
-    ``desc.salt_budget`` (None/1 disables, an int forces)."""
-    return _vecmat(u, g, sr, "src", "dst", mask, desc, u_nvals, vec_first=True, salt=salt)
+    ``desc.salt_budget`` (None/1 disables, an int forces).
+    ``accum``/``w``: GraphBLAS merge-on-write — pass the old output
+    vector as ``w`` and a binary op name/callable as ``accum`` to get
+    ``w accum= result`` (reference operations.hpp:14-19; LGC's accum-mxv
+    lgc.hpp:126-128 is the exercising algorithm); ``desc.replace``
+    selects GrB_REPLACE mask semantics (see operators/accum.py)."""
+    return _vecmat(u, g, sr, "src", "dst", mask, desc, u_nvals,
+                   vec_first=True, salt=salt, accum=accum, w=w)
 
 
 def mxv(
@@ -153,10 +169,13 @@ def mxv(
     desc: Descriptor = DEFAULT_DESC,
     u_nvals: int | None = None,
     salt: int | str | None = "auto",
+    accum=None,
+    w: DataFrame | None = None,
 ) -> DataFrame:
     """w(src)⟨mask⟩ = ⊕_dst A(src,dst) ⊗ u(dst) — reference operations.hpp:95-127.
-    ``salt="auto"``: see :func:`vxm`."""
-    return _vecmat(u, g, sr, "dst", "src", mask, desc, u_nvals, vec_first=False, salt=salt)
+    ``salt="auto"``/``accum``/``w``: see :func:`vxm`."""
+    return _vecmat(u, g, sr, "dst", "src", mask, desc, u_nvals,
+                   vec_first=False, salt=salt, accum=accum, w=w)
 
 
 def apply_vxm(

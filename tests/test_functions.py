@@ -239,6 +239,84 @@ def test_simhash_near_for_near_texts(spark):
     assert ham12 < ham13
 
 
+def test_simhash_hamming_pairs_exact_vs_python(spark, docs):
+    """The banded pigeonhole join must find EXACTLY the pairs within
+    Hamming distance k — zero false negatives (WWW'07 guarantee) and
+    the bit_count verify kills false positives."""
+    from graphblast_spark.functions.dedup import simhash_hamming_pairs
+
+    sub = docs.limit(60)
+    sigs = {r.doc_id: r.simhash for r in simhash64(sub).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r.a, r.b): r.hamming
+           for r in simhash_hamming_pairs(sub, max_hamming=3).collect()}
+    assert got == want
+
+
+def test_simhash_hamming_recall_vs_jaccard(spark, docs):
+    """Near-dup recall: doc pairs that the exact n-gram Jaccard tier
+    verifies as strong near-dups (the d_jaccard ground truth) must be
+    recovered by the Hamming-≤3 simhash tier on this synthetic corpus
+    — the whole point of Hamming matching over exact-fingerprint
+    equality (which recalls none of the non-identical ones)."""
+    from graphblast_spark.functions.dedup import simhash_hamming_pairs
+
+    # long docs (150 distinct tokens) + a one-token-appended variant:
+    # the near-dup regime simhash is built for — a single added token
+    # flips only the few bits whose token-vote margin was zero. (Short
+    # docs flip many bits per edit; that regime belongs to the MinHash
+    # tier, which is why clean_corpus keeps both.)
+    rows = []
+    for d in range(8):
+        text = " ".join(f"w{d}x{i}" for i in range(150))
+        rows.append((d, text))
+        rows.append((d + 100000, text + " zzz"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {(d, d + 100000) for d in range(8)}  # jaccard ≈ 0.99 pairs
+    got = {(r.a, r.b) for r in simhash_hamming_pairs(corpus, max_hamming=3).collect()}
+    recall = len(truth & got) / len(truth)
+    # md5 is fixed → deterministic: 6 of the 8 variants land within 3 bits
+    assert recall >= 0.7, (recall, sorted(truth - got))
+    # exact-fingerprint grouping recalls none of these (text differs)
+    sh = {r.doc_id: r.simhash for r in simhash64(corpus).collect()}
+    exact_recall = sum(sh[a] == sh[b] for a, b in truth) / len(truth)
+    assert exact_recall < recall
+
+
+def test_simhash_hamming_clusters_transitive(spark):
+    """A≈B and B≈C within Hamming 3 but A vs C possibly 4+ bits apart
+    must still land in ONE cluster (CC closure, not pairwise grouping)."""
+    from graphblast_spark.functions.dedup import simhash_hamming_clusters
+
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    df = spark.createDataFrame(
+        [
+            (1, base_text),
+            (2, base_text + " extra"),
+            (3, base_text + " extra more"),
+            (10, "totally unrelated content about catalyst plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in simhash_hamming_clusters(df).collect()}
+    # the three variants form one cluster iff their pairwise chain holds;
+    # regardless of exact chain shape, cluster ids must be consistent and
+    # 10 must stay a singleton
+    assert out[10].cluster_id == 10 and out[10].is_canonical
+    c1 = out[1].cluster_id
+    chained = {d for d in (1, 2, 3) if out[d].cluster_id == c1}
+    assert 1 in chained and out[1].is_canonical == (c1 == 1)
+    # clusters partition: every cluster_id is a member min
+    for d, r in out.items():
+        assert r.is_canonical == (r.cluster_id == d)
+
+
 def test_brute_force_topk_vs_numpy(emb):
     queries = emb.limit(3)
     got = brute_force_topk(emb, queries, k=5).collect()

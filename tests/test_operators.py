@@ -250,3 +250,69 @@ def test_tril_transpose_scale(spark, g):
     assert t == {(d, s) for s, d in orig}
     scaled = g.scale_vals(2.5)
     assert all(r.val == 2.5 for r in scaled.edges.collect())
+
+
+# --- accum / GrB_REPLACE write-back (reference operations.hpp:14-19,
+# --- types.hpp:44-78; accum.py) -------------------------------------------
+def test_vxm_accum_plus(spark, g):
+    """w accum(+)= u·A — the reference's accum-mxv shape (lgc.hpp:126-128)."""
+    A = dense_mat(FX)
+    N = A.shape[0]
+    u = vec_df(spark, [(i, float(i % 7) + 1.0) for i in range(N)])
+    w_old = vec_df(spark, [(i, 100.0 + i) for i in range(0, N, 2)])
+    uv = np.array([float(i % 7) + 1.0 for i in range(N)])
+    t = uv @ A
+    got = to_dict(vxm(u, g, "PlusMultiplies", u_nvals=N, accum="plus", w=w_old))
+    for i in range(N):
+        old = 100.0 + i if i % 2 == 0 else None
+        if t[i] != 0 and old is not None:
+            assert got[i] == pytest.approx(old + t[i])
+        elif t[i] != 0:
+            assert got[i] == pytest.approx(t[i])
+        elif old is not None:
+            assert got[i] == pytest.approx(old)  # pass-through
+        else:
+            assert i not in got
+
+
+def test_vxm_accum_masked_merge_vs_replace(spark, g):
+    A = dense_mat(FX)
+    N = A.shape[0]
+    u = vec_df(spark, [(i, 1.0) for i in range(N)])
+    w_old = vec_df(spark, [(i, 50.0) for i in range(N)])
+    mask = vec_df(spark, [(i, 1.0) for i in range(N) if i % 3 == 0])
+    t = np.ones(N) @ A
+    # merge (default): outside-mask rows keep old value
+    got = to_dict(vxm(u, g, "PlusMultiplies", mask=mask, u_nvals=N,
+                      accum="plus", w=w_old))
+    for i in range(N):
+        if i % 3 == 0:
+            assert got[i] == pytest.approx(50.0 + t[i])
+        else:
+            assert got[i] == pytest.approx(50.0)
+    # GrB_REPLACE: outside-mask rows dropped
+    desc = Descriptor(replace=True)
+    got_r = to_dict(vxm(u, g, "PlusMultiplies", mask=mask, desc=desc,
+                        u_nvals=N, accum="plus", w=w_old))
+    assert set(got_r) == {i for i in range(N) if i % 3 == 0}
+    for i in got_r:
+        assert got_r[i] == pytest.approx(50.0 + t[i])
+
+
+def test_ewise_accum_and_assign_replace(spark):
+    u = vec_df(spark, [(0, 2.0), (1, 3.0)])
+    v = vec_df(spark, [(1, 4.0), (2, 5.0)])
+    w_old = vec_df(spark, [(1, 10.0), (3, 7.0)])
+    # ewise_mult intersection = {1: 12.0}; accum(+) into w_old
+    got = to_dict(ewise_mult(u, v, "PlusMultiplies", accum="plus", w=w_old))
+    assert got == {1: pytest.approx(22.0), 3: pytest.approx(7.0)}
+    # ewise_add union accum(minimum) into w_old
+    got2 = to_dict(ewise_add(u, v, "PlusMultiplies", accum="minimum", w=w_old))
+    assert got2 == {0: 2.0, 1: 7.0, 2: 5.0, 3: 7.0}
+    # assign replace: rows outside the writable region are dropped
+    w = vec_df(spark, [(0, 1.0), (1, 2.0), (2, 3.0)])
+    m = vec_df(spark, [(1, 1.0)])
+    assert to_dict(assign_masked_constant(w, m, 99.0, replace=True)) == {1: 99.0}
+    assert to_dict(
+        assign_masked_constant(w, m, 99.0, mask_complement=True, replace=True)
+    ) == {0: 99.0, 2: 99.0}

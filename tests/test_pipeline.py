@@ -91,6 +91,31 @@ def test_clean_corpus_clusters_tier(spark):
     assert out[3]["keep"]
 
 
+def test_clean_corpus_simhash_hamming_tier(spark):
+    """near_dup='simhash_hamming' (WWW'07) rejects docs whose
+    fingerprints are a FEW bits apart — pairs the exact-fingerprint
+    'simhash' tier misses entirely."""
+    long = " ".join(f"tok{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, long), (2, long + " note"),  # fingerprints 2 bits apart (md5-fixed)
+         (3, "totally different words here about ships and sails and the sea it is")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in clean_corpus(
+        docs, keep_langs=("en", "und"), min_quality=0.0, max_dup_2gram_frac=1.0,
+        near_dup="simhash_hamming", max_dup_span_frac=1.0,
+    ).collect()}
+    assert out[1]["keep"]
+    assert out[2]["reject_reason"] == "near_dup"
+    assert out[3]["keep"]
+    # the exact-fingerprint tier keeps both (fingerprints differ)
+    out_exact = {r["doc_id"]: r for r in clean_corpus(
+        docs, keep_langs=("en", "und"), min_quality=0.0, max_dup_2gram_frac=1.0,
+        near_dup="simhash", max_dup_span_frac=1.0,
+    ).collect()}
+    assert out_exact[1]["keep"] and out_exact[2]["keep"]
+
+
 def test_retention_stats(spark, corpus):
     v = clean_corpus(corpus, keep_langs=("en",), min_quality=0.5,
                      near_dup="simhash", max_dup_span_frac=0.95, span_tokens=5)
