@@ -607,36 +607,40 @@ def q_g_ppr(spark, sf_dir):
 
 
 def q_g_anf(spark, sf_dir):
-    """Exact neighborhood function N(t) (Σ ball sizes, t=0..6) on the
-    directed order-sequence graph — the oracle twin of the HyperBall
-    sketch variant (algorithms/anf.py; HLL vs exact pinned in
-    tests/test_anf.py)."""
+    """Exact neighborhood function N(t) (Σ ball sizes, t=0..6) from a
+    FIXED 64-root sample of the directed order-sequence graph — the
+    root-capped contract form (state O(64·|V|): runnable at 100×,
+    unlike the all-pairs sum — VERDICT r3 task 10). The all-roots
+    exact twin remains the pytest oracle of the HyperBall sketch
+    (tests/test_anf.py)."""
     from graphblast_spark.algorithms.anf import neighborhood_function_exact
     from graphblast_spark.sources.tpch_graphs import ordseq_graph
 
     g = ordseq_graph(spark, sf_dir)
-    return neighborhood_function_exact(g, max_t=6)
+    roots = g.vertices.orderBy("id").limit(64).select("id")
+    return neighborhood_function_exact(g, max_t=6, roots=roots)
 
 
 def q_g_harmonic(spark, sf_dir):
-    """Exact out-harmonic centrality, distance-capped at 8, for every
-    vertex of the directed order-sequence graph — the oracle twin of
-    harmonic_centrality_hyperball (algorithms/anf.py; the sketch
-    variant is pytest-pinned within HLL error, tests/test_anf.py)."""
+    """Exact out-harmonic centrality (distance-capped at 8) for a FIXED
+    64-root sample of the directed order-sequence graph — root-capped
+    contract form (state O(64·|V|), runnable at 100×). The all-vertex
+    answer at scale is harmonic_centrality_hyperball (algorithms/
+    anf.py), pytest-pinned against the exact form within HLL error."""
     from graphblast_spark.algorithms.diameter import multi_source_bfs
     from graphblast_spark.descriptor import DEFAULT_DESC
     from graphblast_spark.sources.tpch_graphs import ordseq_graph
 
     g = ordseq_graph(spark, sf_dir)
+    roots = g.vertices.orderBy("id").limit(64).select("id")
     h = (
-        multi_source_bfs(g, g.vertices.select("id"),
-                         desc=DEFAULT_DESC.with_(max_niter=8))
+        multi_source_bfs(g, roots, desc=DEFAULT_DESC.with_(max_niter=8))
         .filter(F.col("depth") >= 1)
         .groupBy(F.col("root").alias("id"))
         .agg(F.sum(1.0 / F.col("depth")).alias("h"))
     )
     return (
-        g.vertices.join(h, "id", "left")
+        roots.join(h, "id", "left")
         .select("id", F.round(F.coalesce("h", F.lit(0.0)), 6).alias("harmonic"))
     )
 
@@ -2112,8 +2116,9 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE oe AS ({SQL_ORDSEQ_EDGES}),
             ov AS (SELECT DISTINCT id FROM
                    (SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe)),
+            roots AS (SELECT id FROM ov ORDER BY id LIMIT 64),
             w(s, v, t) AS (
-              SELECT id, id, 0 FROM ov
+              SELECT id, id, 0 FROM roots
               UNION
               SELECT w.s, e.dst, w.t + 1 FROM w JOIN oe e ON w.v = e.src
               WHERE w.t < 6
@@ -2127,8 +2132,9 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE oe AS ({SQL_ORDSEQ_EDGES}),
             ov AS (SELECT DISTINCT id FROM
                    (SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe)),
+            roots AS (SELECT id FROM ov ORDER BY id LIMIT 64),
             w(s, v, t) AS (
-              SELECT id, id, 0 FROM ov
+              SELECT id, id, 0 FROM roots
               UNION
               SELECT w.s, e.dst, w.t + 1 FROM w JOIN oe e ON w.v = e.src
               WHERE w.t < 8
@@ -2140,8 +2146,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT s AS id, sum(1.0 / CAST(d AS DOUBLE)) AS h
               FROM dist GROUP BY s
             )
-            SELECT v.id AS id, round(coalesce(h.h, 0.0), 6) AS harmonic
-            FROM ov v LEFT JOIN h ON v.id = h.id""",
+            SELECT r.id AS id, round(coalesce(h.h, 0.0), 6) AS harmonic
+            FROM roots r LEFT JOIN h ON r.id = h.id""",
         "g_spam_mass": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},
             outdeg AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),

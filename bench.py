@@ -42,15 +42,32 @@ def _timed(fn):
     return out, time.time() - t0
 
 
-def _timed_warm(fn):
-    """Reference measurement protocol (gpr.cu:107-148): one untimed
-    warmup rep, then the timed rep. Warm timings are the meaningful
-    throughput numbers (JIT/codegen settled, caches populated) and are
-    far less sensitive to this box's host-noise windows; the cold
-    one-time costs are still reported by the single-pass prep slots
-    (graph_build, pagerank_prep, pages_distill_20k)."""
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+# A slot is flagged noisy when its slowest rep is >1.5× its fastest —
+# the same binary doing the same work 50%+ slower is this box's
+# documented noisy-neighbor cadence, not the code (BENCH.md measured
+# 3-6× swings on identical binaries). best-of-reps matches the
+# reference protocol (run_pr.sh:16-17 --niter 5 takes the tight loop).
+NOISY_SPREAD = 1.5
+
+
+def _timed_warm(fn, reps: int = BENCH_REPS):
+    """Reference measurement protocol (gpr.cu:107-148 + --niter,
+    run_pr.sh:16-17): one untimed warmup rep, then ``reps`` timed reps;
+    the slot reports the BEST rep and keeps the full spread so a noisy
+    host window is visible inside the JSON instead of silently
+    inflating a slot (VERDICT r3 task 1). Warm timings are the
+    meaningful throughput numbers (JIT/codegen settled, caches
+    populated); the cold one-time costs are still reported by the
+    single-pass prep slots (graph_build, pagerank_prep)."""
     fn()
-    return _timed(fn)
+    out, t0 = _timed(fn)
+    times = [t0]
+    for _ in range(reps - 1):
+        _, dt = _timed(fn)
+        times.append(dt)
+    return out, min(times), [round(t, 3) for t in times]
 
 
 def _warm_python_workers(spark, cpus: int) -> None:
@@ -71,10 +88,19 @@ def _warm_python_workers(spark, cpus: int) -> None:
 def run_headline(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entrymod
 
+    load_at_start = round(os.getloadavg()[0], 2)  # pre-Spark idle load
     spark = _mk_spark(f"local[{cpus}]", cpus)
     _warm_python_workers(spark, cpus)
     q = entrymod.queries()
     timings: dict[str, float] = {}
+    rep_spread: dict[str, list[float]] = {}
+    noisy_slots: list[str] = []
+
+    def record(name: str, best: float, reps: list[float]) -> None:
+        timings[name] = round(best, 3)
+        rep_spread[name] = reps
+        if max(reps) / max(min(reps), 1e-9) > NOISY_SPREAD:
+            noisy_slots.append(name)
 
     # Graph build once (shared across graph queries in spirit; each query
     # callable rebuilds, so time the build separately for context).
@@ -94,20 +120,20 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     pr_iters = 10
     w_edges, t_prep = _timed(lambda: pagerank_prep(g))
     timings["pagerank_prep"] = round(t_prep, 3)
-    _, t_pr = _timed_warm(lambda: pagerank(g, fixed_iters=pr_iters, w_edges=w_edges).count())
-    timings["pagerank_10it"] = round(t_pr, 3)
+    _, t_pr, reps = _timed_warm(lambda: pagerank(g, fixed_iters=pr_iters, w_edges=w_edges).count())
+    record("pagerank_10it", t_pr, reps)
     gteps_pr = nvals * pr_iters / t_pr
     w_edges.unpersist()
 
-    _, t = _timed_warm(lambda: connected_components(g).count())
-    timings["cc"] = round(t, 3)
-    _, t = _timed_warm(lambda: label_propagation_majority(g, iters=5).count())
-    timings["lp_majority_5it"] = round(t, 3)
-    _, t = _timed_warm(lambda: triangle_count(g, orient="degree"))
-    timings["tc"] = round(t, 3)
+    _, t, reps = _timed_warm(lambda: connected_components(g).count())
+    record("cc", t, reps)
+    _, t, reps = _timed_warm(lambda: label_propagation_majority(g, iters=5).count())
+    record("lp_majority_5it", t, reps)
+    _, t, reps = _timed_warm(lambda: triangle_count(g, orient="degree"))
+    record("tc", t, reps)
     src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg({"l_partkey": "min"}).first()[0]
-    _, t = _timed_warm(lambda: bfs(g, source=src).count())
-    timings["bfs"] = round(t, 3)
+    _, t, reps = _timed_warm(lambda: bfs(g, source=src).count())
+    record("bfs", t, reps)
 
     # Directed web-graph tier (round 3): SCC + HyperBall on the
     # order-sequence graph (the directed fixture with real cycles).
@@ -116,16 +142,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     g2, t = _timed(lambda: ordseq_graph(spark, sf_dir))
     timings["ordseq_build"] = round(t, 3)
-    _, t = _timed_warm(lambda: strongly_connected_components(g2).count())
-    timings["scc"] = round(t, 3)
-    _, t = _timed_warm(lambda: hyperball(g2, max_t=8).count())
-    timings["hyperball_t8"] = round(t, 3)
+    _, t, reps = _timed_warm(lambda: strongly_connected_components(g2).count())
+    record("scc", t, reps)
+    _, t, reps = _timed_warm(lambda: hyperball(g2, max_t=8).count())
+    record("hyperball_t8", t, reps)
 
     # Training-data ops.
-    for name in ["d_minhash_lsh", "d_exact_dedup", "d_simhash", "e_knn_cosine",
+    for name in ["d_minhash_lsh", "d_exact_dedup", "d_simhash",
+                 "d_simhash_hamming", "e_knn_cosine",
                  "d_quality", "d_pii_redact", "d_boilerplate"]:
-        _, t = _timed_warm(lambda n=name: q[n](spark, sf_dir).count())
-        timings[name] = round(t, 3)
+        _, t, reps = _timed_warm(lambda n=name: q[n](spark, sf_dir).count())
+        record(name, t, reps)
 
     # Pages pipeline: synth corpus → distill → edge table (the north-rule path).
     from graphblast_spark.sources.corpus import generate_pages
@@ -136,17 +163,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         edges, _ = distill_edges(pages)
         return edges.count()
 
-    n_edges, t = _timed_warm(_pages_pipeline)
-    timings["pages_distill_20k"] = round(t, 3)
+    n_edges, t, reps = _timed_warm(_pages_pipeline)
+    record("pages_distill_20k", t, reps)
 
     total = round(sum(timings.values()), 3)
-    # Round-over-round comparability: the r3 suite added slots (ordseq
-    # build, SCC, HyperBall, pii, boilerplate); this subtotal is the
-    # sum over exactly the r1/r2 slot set.
-    _r3_slots = {"ordseq_build", "scc", "hyperball_t8", "d_pii_redact",
-                 "d_boilerplate"}
+    # Round-over-round comparability: the r3/r4 suites added slots
+    # (ordseq build, SCC, HyperBall, pii, boilerplate, simhash-
+    # hamming); this subtotal is the sum over exactly the r1/r2 set.
+    _new_slots = {"ordseq_build", "scc", "hyperball_t8", "d_pii_redact",
+                  "d_boilerplate", "d_simhash_hamming"}
     total_r2_slots = round(
-        sum(v for k, v in timings.items() if k not in _r3_slots), 3
+        sum(v for k, v in timings.items() if k not in _new_slots), 3
     )
     result = {
         "metric": "headline suite wall time (graph algos + training-data ops; "
@@ -160,6 +187,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "pages_edges_distilled": n_edges,
         "cpus": cpus,
         "total_r2_slots": total_r2_slots,
+        "bench_reps": BENCH_REPS,
+        "rep_spread": rep_spread,
+        "noisy_slots": noisy_slots,
+        "load_at_start": load_at_start,
     }
     spark.stop()
     return result

@@ -38,22 +38,28 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 
 def neighborhood_function_exact(
-    g: Graph, max_t: int = 8, runner: SuperstepRunner | None = None
+    g: Graph,
+    max_t: int = 8,
+    runner: SuperstepRunner | None = None,
+    roots: DataFrame | None = None,
 ) -> DataFrame:
     """Exact N(t) for t = 0..max_t via depth-capped multi-source BFS
-    from EVERY vertex (root batching inherited from multi_source_bfs).
-    Returns (t int, n_pairs long), n_pairs = Σ_v |B(v, t)| including
-    the self pair. All-pairs work — small/medium graphs only; the
-    scale path is :func:`hyperball`."""
+    from EVERY vertex (root batching inherited from multi_source_bfs),
+    or from ``roots`` (a (id) DataFrame) only — the root-capped form
+    whose state is O(|roots|·|V|) instead of all-pairs: a fixed root
+    sample stays runnable at any corpus scale. Returns (t int,
+    n_pairs long), n_pairs = Σ_root |B(root, t)| including the self
+    pair. The all-roots form is small/medium graphs only; the scale
+    path for the FULL sum is :func:`hyperball`."""
     from graphblast_spark.algorithms.diameter import multi_source_bfs
 
     spark = g.edges.sparkSession
     visited = multi_source_bfs(
-        g, g.vertices.select("id"),
+        g, roots if roots is not None else g.vertices.select("id"),
         desc=DEFAULT_DESC.with_(max_niter=max_t), runner=runner,
     )
     per_depth = visited.groupBy("depth").agg(F.count(F.lit(1)).alias("c"))
@@ -91,7 +97,7 @@ def hyperball(
     counters = (
         g.vertices.groupBy("id")
         .agg(F.hll_sketch_agg("id", F.lit(lg_config_k)).alias("sk"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
 
     def total(c: DataFrame) -> float:
@@ -111,7 +117,7 @@ def hyperball(
                 gathered.unionByName(counters)
                 .groupBy("id")
                 .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
-                .localCheckpoint(eager=True)  # superstep action
+                .transform(truncate_plan)  # superstep action
             )
             n_t = total(counters)
             runner.commit(t - 1, {}, metrics={"t": t, "n_pairs": n_t})
@@ -179,7 +185,7 @@ def harmonic_centrality_hyperball(
         .agg(F.hll_sketch_agg("id", F.lit(lg_config_k)).alias("sk"))
         .withColumn("est", F.hll_sketch_estimate("sk"))
         .withColumn("harmonic", F.lit(0.0))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
 
     def total(c: DataFrame) -> float:
@@ -214,7 +220,7 @@ def harmonic_centrality_hyperball(
                         ) / F.lit(float(t))
                     ).alias("harmonic"),
                 )
-                .localCheckpoint(eager=True)  # superstep action
+                .transform(truncate_plan)  # superstep action
             )
             cur = total(counters)
             runner.commit(t - 1, {}, metrics={"t": t, "n_pairs": cur})

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, child_runner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, child_runner, stable_partitions, truncate_plan
 
 
 def betweenness_centrality(
@@ -91,7 +91,7 @@ def betweenness_centrality(
     if batch is not None:
         n_roots = roots.count()
         if n_roots > batch:
-            rb = _batched_roots(roots, batch, "id").localCheckpoint(eager=True)
+            rb = _batched_roots(roots, batch, "id").transform(truncate_plan)
             n_batches = -(-n_roots // batch)
             for i in range(n_batches):
                 p = _bc_one_batch(
@@ -99,7 +99,7 @@ def betweenness_centrality(
                     rb.filter(F.col("__b") == i).select("id"),
                     max_depth,
                     child_runner(runner, spark, f"batch_{i:04d}"),
-                ).localCheckpoint(eager=True)
+                ).transform(truncate_plan)
                 partial = p if partial is None else (
                     partial.unionByName(p).groupBy("id").agg(F.sum("bc").alias("bc"))
                 )
@@ -124,7 +124,7 @@ def _bc_one_batch(
     # -- forward: per-level frontiers (root, id, sigma) -----------------
     level0 = roots.select(
         F.col("id").alias("root"), "id", F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     levels: list[DataFrame] = [level0]
     sp_all = level0.select("root", "id")  # settled (root, vertex) pairs
 
@@ -138,7 +138,7 @@ def _bc_one_batch(
                 .groupBy(fr["root"].alias("root"), edges["dst"].alias("id"))
                 .agg(F.sum("sigma").alias("sigma"))
                 .join(sp_all, on=["root", "id"], how="left_anti")
-                .localCheckpoint(eager=True)  # superstep action
+                .transform(truncate_plan)  # superstep action
             )
             n_new = nxt.count()
             runner.commit(d, {}, scalars={"frontier": n_new},
@@ -146,7 +146,7 @@ def _bc_one_batch(
             if n_new == 0:
                 break
             levels.append(nxt)
-            sp_all = sp_all.unionByName(nxt.select("root", "id")).localCheckpoint(eager=True)
+            sp_all = sp_all.unionByName(nxt.select("root", "id")).transform(truncate_plan)
             d += 1
 
     deepest = len(levels) - 1
@@ -195,7 +195,7 @@ def _bc_one_batch(
                 cur.select("root", "id")
                 .join(contrib, on=["root", "id"], how="left")
                 .select("root", "id", F.coalesce("delta", F.lit(0.0)).alias("delta"))
-                .localCheckpoint(eager=True)  # superstep action
+                .transform(truncate_plan)  # superstep action
             )
             runner.commit(deepest - 1 - d, {},
                           metrics={"ms": (time.time() - t0) * 1000.0, "phase": "bwd"})

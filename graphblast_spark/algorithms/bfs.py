@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor, MxvMode
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner
+from graphblast_spark.runtime.superstep import SuperstepRunner, truncate_plan
 
 
 def bfs(
@@ -64,12 +64,12 @@ def bfs(
             .distinct()
             .join(depths, on="id", how="left_anti")  # complemented visited mask
             .withColumn("depth", F.lit(it + 1).cast("long"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         frontier_n = nxt.count()
         depths = depths.unionByName(nxt)
         if (it + 1) % 8 == 0:
-            depths = depths.localCheckpoint(eager=True)  # bound the union tree
+            depths = depths.transform(truncate_plan)  # bound the union tree
         state = runner.commit(
             it,
             {"depths": depths, "frontier": nxt.select("id")},

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
 from graphblast_spark.operators.assign import extract_gather
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 
 def connected_components(
@@ -84,7 +84,7 @@ def connected_components(
             )
             # (2) shortcut/jump: f[u] = f[f[u]] (cc.hpp:98-99 extractGather)
             new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
-            new_parent = new_parent.localCheckpoint(eager=True)
+            new_parent = new_parent.transform(truncate_plan)
 
             # (3) convergence (cc.hpp:102-104 MinimumNotEqualTo reduce).
             # Labels are integers and strictly monotone non-increasing, so

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, child_runner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, child_runner, stable_partitions, truncate_plan
 
 # Frontier-state budget for root-batched sweeps: the multi-source state
 # is O(reached (root, vertex) pairs) ≤ |roots|·|V|; batches are sized so
@@ -83,7 +83,7 @@ def multi_source_bfs(
     if batch is not None:
         n_roots = src_df.count()
         if n_roots > batch:
-            rb = _batched_roots(src_df, batch, "root").localCheckpoint(eager=True)
+            rb = _batched_roots(src_df, batch, "root").transform(truncate_plan)
             n_batches = -(-n_roots // batch)
             out = None
             for i in range(n_batches):
@@ -128,7 +128,7 @@ def _msbfs_one_batch(
                 .join(visited, on=["root", "id"], how="left_anti")
                 .withColumn("depth", F.lit(it + 1).cast("long"))
             )
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(truncate_plan)
             frontier_n = nxt.count()
             visited = visited.unionByName(nxt)
             frontier = nxt.select("root", "id")

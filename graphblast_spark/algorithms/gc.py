@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from graphblast_spark.algorithms.mis import lcg_weight, mis
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 
 def graph_coloring(
@@ -83,7 +83,7 @@ def graph_coloring(
                 )
                 .select("id")
             )
-            winners = winners.localCheckpoint(eager=True)
+            winners = winners.transform(truncate_plan)
             n_new = winners.count()
             if n_new == 0:
                 runner.commit(
@@ -139,11 +139,9 @@ def graph_coloring_mis(
             break
         sub = Graph(edges=edges, vertices=remaining, n=n_left, nvals=-1)
         in_set = mis(sub, desc=desc).filter(F.col("in_mis") == 1).select("id")
-        in_set = in_set.localCheckpoint(eager=True)
+        in_set = in_set.transform(truncate_plan)
         colored = colored.unionByName(in_set.withColumn("color", F.lit(k)))
-        remaining = remaining.join(in_set, on="id", how="left_anti").localCheckpoint(
-            eager=True
-        )
+        remaining = remaining.join(in_set, on="id", how="left_anti").transform(truncate_plan)
         n_left = remaining.count()
         # residual edge view: both endpoints still uncolored
         r_src = remaining.select(F.col("id").alias("src"))
@@ -235,7 +233,7 @@ def graph_coloring_spec(
                 colors.join(mnb, on="id")
                 .filter(F.col("wk") < F.col("mnb"))
                 .select("id")
-                .localCheckpoint(eager=True)
+                .transform(truncate_plan)
             )
             n_mov = movers.count()
             if n_mov == 0:
@@ -339,7 +337,7 @@ def graph_coloring_jp(
                 )
                 .select("id")
             )
-            winners = winners.localCheckpoint(eager=True)
+            winners = winners.transform(truncate_plan)
             n_new = winners.count()
             if n_new == 0:
                 runner.commit(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 
 def hits(
@@ -73,8 +73,8 @@ def hits(
     with stable_partitions(spark):
         for it in range(start_iter, fixed_iters):
             t0 = time.time()
-            authority = _l1_normalize(_pull(hub, "src", "dst")).localCheckpoint(eager=True)
-            hub = _l1_normalize(_pull(authority, "dst", "src")).localCheckpoint(eager=True)
+            authority = _l1_normalize(_pull(hub, "src", "dst")).transform(truncate_plan)
+            hub = _l1_normalize(_pull(authority, "dst", "src")).transform(truncate_plan)
             state = runner.commit(
                 it, {"hub": hub, "authority": authority},
                 metrics={"ms": (time.time() - t0) * 1000.0},

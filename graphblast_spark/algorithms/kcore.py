@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 
 def k_core(
@@ -75,7 +75,7 @@ def k_core(
                 remaining.join(deg, on="id", how="left")
                 .filter(F.coalesce(F.col("d"), F.lit(0)) >= k)
                 .select("id")
-                .localCheckpoint(eager=True)
+                .transform(truncate_plan)
             )
             if n_prev is None:
                 n_prev = remaining.count()  # first round only

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 
 def _support(und: DataFrame) -> DataFrame:
@@ -87,7 +87,7 @@ def k_truss(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     n_edges = und.count()
 
@@ -97,7 +97,7 @@ def k_truss(
             if n_edges == 0:
                 break
             sup = _support(und)
-            keep = sup.filter(F.col("support") >= k - 2).localCheckpoint(eager=True)
+            keep = sup.filter(F.col("support") >= k - 2).transform(truncate_plan)
             n_keep = keep.count()
             runner.commit(
                 rnd, {},

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 
 def _sym(g: Graph) -> DataFrame:
@@ -75,7 +75,7 @@ def label_propagation_min(
             )
             new_labels = labels.join(nbr, on="id", how="left").select(
                 "id", F.least(F.col("val"), F.coalesce("nmin", "val")).alias("val")
-            ).localCheckpoint(eager=True)
+            ).transform(truncate_plan)
             # monotone min labels: Σ label unchanged ⟺ fixpoint —
             # summed as decimal(38,0) so the witness stays exact past
             # int64 (10^12 ids × 10^12 labels ≈ 10^24 would wrap and a
@@ -134,7 +134,7 @@ def label_propagation_majority(
             )
             new_labels = labels.join(winner, on="id", how="left").select(
                 "id", F.coalesce("new", "val").alias("val")
-            ).localCheckpoint(eager=True)
+            ).transform(truncate_plan)
             state = runner.commit(it, {"labels": new_labels}, metrics={"ms": (time.time() - t0) * 1000.0})
             labels = state["labels"]
     e_sym.unpersist()

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 _LCG_A = 1103515245
 _LCG_B = 12345
@@ -110,7 +110,7 @@ def mis(
                 )
                 .select("id")
             )
-            winners = winners.localCheckpoint(eager=True)  # superstep action
+            winners = winners.transform(truncate_plan)  # superstep action
             n_new = winners.count()
             if n_new == 0:
                 runner.commit(

@@ -40,6 +40,7 @@ from graphblast_spark.runtime.superstep import (
     SuperstepRunner,
     child_runner,
     stable_partitions,
+    truncate_plan,
 )
 
 
@@ -136,7 +137,7 @@ def pagerank(
                 .groupBy("id")
                 .agg((F.lit(teleport) + F.sum("c")).alias("val"))
             )
-            new_ranks = new_ranks.localCheckpoint(eager=True)  # superstep action
+            new_ranks = new_ranks.transform(truncate_plan)  # superstep action
 
             err = None
             if fixed_iters is None:
@@ -187,7 +188,7 @@ def personalized_pagerank(
     # mass (the init left-join fans out), and ids outside the vertex
     # domain would inflate n_seeds while contributing nothing — silently
     # scaling every score down. Dedup, then insist every seed is a vertex.
-    seeds = seeds.select("id").distinct().localCheckpoint(eager=True)
+    seeds = seeds.select("id").distinct().transform(truncate_plan)
     n_seeds = seeds.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
@@ -210,7 +211,7 @@ def personalized_pagerank(
         g.vertices.join(seeds, on="id", how="left_semi")
         .select("id", F.lit(tele).alias("c"))
         .unionByName(g.vertices.select("id", F.lit(0.0).alias("c")))
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     ranks = (
         g.vertices.join(seeds.withColumn("__s", F.lit(1)), on="id", how="left")
@@ -230,7 +231,7 @@ def personalized_pagerank(
                 contribs.unionByName(base)
                 .groupBy("id")
                 .agg(F.sum("c").alias("val"))
-                .localCheckpoint(eager=True)  # superstep action
+                .transform(truncate_plan)  # superstep action
             )
             runner.commit(it, {}, metrics={"ms": (time.time() - t0) * 1000.0})
 
@@ -349,7 +350,7 @@ def spam_mass(
                    (F.col("pr") - F.col("trust")) / F.col("pr"))
             .otherwise(F.lit(0.0)).alias("spam_mass"),
         )
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(truncate_plan)
     finally:
         w.unpersist()
     return out

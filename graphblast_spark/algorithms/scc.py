@@ -52,7 +52,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions
+from graphblast_spark.runtime.superstep import (
+    SuperstepRunner,
+    scaled_shuffle,
+    stable_partitions,
+    truncate_plan,
+)
 
 
 def _sum_witness(df: DataFrame, col: str) -> int:
@@ -71,25 +76,32 @@ def _max_coloring(
     key_src → key_dst (pass ("dst", "src") to propagate against edge
     direction, i.e. max id REACHABLE from v).
 
-    Per superstep: one-hop gather (hash join + max agg) + eager
-    lineage truncation; convergence is one aggregate — labels are
-    monotone non-decreasing integers, so an unchanged decimal(38,0)
-    sum is an exact fixpoint witness. O(diameter) supersteps.
+    Per superstep: one-hop gather (hash join + max agg) + a FastSV-
+    style pointer jump (val' = max(val, val[val]) — valid because
+    colors compose along paths: if u reaches v and w reaches u then w
+    reaches v), fused into ONE plan before a single eager lineage
+    truncation; convergence is one aggregate — labels are monotone
+    non-decreasing integers, so an unchanged decimal(38,0) sum is an
+    exact fixpoint witness. The jump doubles the known reach per
+    round → **O(log diameter) supersteps** (measured: a 40k-vertex
+    path converges in 16 rounds at a flat ~1.2 s each; the full
+    backward pass on the sf0.1 web fixture in 12 rounds, ~1–2 s each).
 
-    NOTE a FastSV-style pointer jump (val' = max(val, val[val]) via a
-    second self-join per superstep) was implemented and REMOVED: it is
-    semantically valid (colors compose along paths) and cuts the
-    superstep count to O(log diameter), but on Spark 4.1 the extra
-    val-keyed self-join hits a measured pathological slowdown as the
-    label distribution converges — per-superstep wall time doubles
-    every round (0.5 s → 32 s within 5 rounds on a 2k-vertex graph)
-    with constant rows, plan depth, lineage length, stage and task
-    counts, with AQE on or off, with either localCheckpoint or
-    persist, and with both join orders; the plain gather loop is flat
-    at ~0.4 s/superstep on the same input. Until that is understood,
-    the O(diameter) loop is the faster AND predictable choice; BC/BFS
-    share the same per-level bound so SCC is no worse than the rest of
-    the engine's traversal family."""
+    HISTORY: round 3 shipped the O(diameter) plain-gather loop after
+    measuring per-superstep wall time DOUBLING every round with the
+    jump (0.5 s → 32 s within 5 rounds) at constant rows/stages/
+    tasks. Round 4 root-caused it — not the jump, and not Spark's
+    task execution: Catalyst's default stats visitor estimates joins
+    as the product of child ``sizeInBytes`` and ``localCheckpoint``
+    carries origin stats forward, so the estimate SQUARES per
+    superstep until per-action plan-string formatting (BigInteger →
+    decimal) dominates the driver. The extra val-keyed self-join per
+    superstep merely doubled the compounding rate, which is why the
+    plain loop looked immune. Fixed engine-wide by
+    :func:`graphblast_spark.runtime.superstep.truncate_plan`
+    (checkpoint + stat reset — see its docstring for the full
+    mechanism and measurements); tests/test_scc.py pins per-superstep
+    flatness and tests/test_plans.py pins the bounded stat."""
     color = verts.select("id", F.col("id").alias("val"))
     prev = _sum_witness(color, "val")
     for _ in range(max_inner):
@@ -99,7 +111,7 @@ def _max_coloring(
             .groupBy(edges[key_dst].alias("id"))
             .agg(F.max(c["val"]).alias("nmax"))
         )
-        color = (
+        stepped = (
             color.join(nbr_max, "id", "left")
             .select(
                 "id",
@@ -107,7 +119,21 @@ def _max_coloring(
                     F.col("val"), F.coalesce("nmax", F.col("val"))
                 ).alias("val"),
             )
-            .localCheckpoint(eager=True)
+        )
+        parent = stepped.select(F.col("id").alias("pid"), F.col("val").alias("pval"))
+        color = (
+            stepped.join(
+                parent.hint("shuffle_hash"),
+                stepped["val"] == F.col("pid"),
+                "left",
+            )
+            .select(
+                stepped["id"].alias("id"),
+                F.greatest(
+                    stepped["val"], F.coalesce(F.col("pval"), stepped["val"])
+                ).alias("val"),
+            )
+            .transform(truncate_plan)
         )
         cur = _sum_witness(color, "val")
         if cur == prev:
@@ -133,13 +159,29 @@ def strongly_connected_components(
     """Returns (id long, scc_id long), scc_id = min vertex id of the
     strongly connected component."""
     spark = g.edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # One pinned orientation: both colorings probe the persisted
-    # src-partitioned edges (the backward pass flips the JOIN key, not
-    # the layout); per-round activity is a semi-join filter.
-    e_fwd = g.edges.select("src", "dst").repartition(n_part, "src").persist()
-    e_fwd.count()
+    n_edges = g.edges.count()
+    with scaled_shuffle(spark, n_edges) as n_part:
+        # One pinned orientation: both colorings probe the persisted
+        # src-partitioned edges (the backward pass flips the JOIN key,
+        # not the layout); per-round activity is a semi-join filter.
+        # Partition width is clamped to the edge count (scaled_shuffle)
+        # so the ~30 supersteps per outer round don't schedule hundreds
+        # of near-empty tasks each on small remainders; every loop
+        # shuffle below runs at the same width, keeping the persisted
+        # edges co-partitioned with the state.
+        e_fwd = g.edges.select("src", "dst").repartition(n_part, "src").persist()
+        e_fwd.count()
+        return _scc_loop(g, spark, e_fwd, runner, max_rounds, max_inner)
 
+
+def _scc_loop(
+    g: Graph,
+    spark,
+    e_fwd: DataFrame,
+    runner: SuperstepRunner | None,
+    max_rounds: int,
+    max_inner: int,
+) -> DataFrame:
     if runner is None:
         runner = SuperstepRunner(spark)
 
@@ -171,7 +213,7 @@ def strongly_connected_components(
                 keep = (
                     remaining.join(act, remaining["id"] == act["src"], "left_semi")
                     .join(act, remaining["id"] == act["dst"], "left_semi")
-                    .localCheckpoint(eager=True)
+                    .transform(truncate_plan)
                 )
                 n_keep = keep.count()
                 if n_keep == n_rem:
@@ -179,7 +221,7 @@ def strongly_connected_components(
                 trimmed = remaining.join(keep, "id", "left_anti")
                 assigned = assigned.unionByName(
                     trimmed.select("id", F.col("id").alias("scc_id"))
-                ).localCheckpoint(eager=True)
+                ).transform(truncate_plan)
                 remaining, n_rem = keep, n_keep
             if n_rem == 0:
                 state = runner.commit(
@@ -189,7 +231,7 @@ def strongly_connected_components(
                 remaining, assigned = state["remaining"], state["assigned"]
                 continue
 
-            act = act.localCheckpoint(eager=True)  # edges inside `keep`
+            act = act.transform(truncate_plan)  # edges inside `keep`
 
             # -- 2. forward max-coloring (pointer-jumped) -----------------
             # cf(v) = max id with a path TO v. O(log diameter) supersteps.
@@ -211,7 +253,7 @@ def strongly_connected_components(
                 act.join(cfs, "src")
                 .join(cfd, ["dst", "cls"])
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
+                .transform(truncate_plan)
             )
             cb = _max_coloring(ec, remaining, "dst", "src", max_inner)
 
@@ -226,10 +268,8 @@ def strongly_connected_components(
 
             assigned = assigned.unionByName(
                 members.select("id", F.col("root").alias("scc_id"))
-            ).localCheckpoint(eager=True)
-            remaining = remaining.join(members, "id", "left_anti").localCheckpoint(
-                eager=True
-            )
+            ).transform(truncate_plan)
+            remaining = remaining.join(members, "id", "left_anti").transform(truncate_plan)
             state = runner.commit(
                 rnd,
                 {"remaining": remaining, "assigned": assigned},
@@ -259,7 +299,7 @@ def _reach_from(edges: DataFrame, seeds: DataFrame, reverse: bool = False) -> Da
     themselves unless re-reached) along ``edges`` — plain frontier BFS,
     O(|V|) state, one anti-join + one hash join per level."""
     src, dst = ("dst", "src") if reverse else ("src", "dst")
-    visited = seeds.select("id").localCheckpoint(eager=True)
+    visited = seeds.select("id").transform(truncate_plan)
     frontier = visited
     while True:
         nxt = (
@@ -268,11 +308,11 @@ def _reach_from(edges: DataFrame, seeds: DataFrame, reverse: bool = False) -> Da
             .select(edges[dst].alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
         if nxt.isEmpty():
             return visited
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(truncate_plan)
         frontier = nxt
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC, Descriptor, MxvMode
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner
+from graphblast_spark.runtime.superstep import SuperstepRunner, truncate_plan
 
 
 def sssp(
@@ -62,14 +62,14 @@ def sssp(
         joined = cand.join(dist, on="id", how="left")
         new_frontier = joined.filter(
             F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
-        ).select("id", F.col("cand").alias("dist")).localCheckpoint(eager=True)
+        ).select("id", F.col("cand").alias("dist")).transform(truncate_plan)
         improved_n = new_frontier.count()
         # merge: min(dist, cand) over the union of structures
         dist = (
             dist.unionByName(new_frontier)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)  # truncate lineage per superstep
+            .transform(truncate_plan)  # truncate lineage per superstep
         )
         state = runner.commit(
             it,

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.matrix import Graph
+from graphblast_spark.runtime.superstep import truncate_plan
 
 # SQL-portable step hash: pmod(walk*1000003 + step*10007 + id*31, 999983).
 # Multipliers keep every product < 2^63 for ids up to 10^12 (Spark 4
@@ -160,7 +161,7 @@ def random_walks(
             )
         )
         if (t + 1) % ckpt_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
+            frontier = frontier.transform(truncate_plan)
         rows.append(frontier.withColumn("step", F.lit(t + 1).cast("long")))
     result = rows[0]
     for r in rows[1:]:

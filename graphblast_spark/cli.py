@@ -23,6 +23,7 @@ import argparse
 import json
 import sys
 import time
+from graphblast_spark.runtime.superstep import truncate_plan
 
 
 def _build_graph(spark, args):
@@ -232,7 +233,7 @@ def main(argv=None) -> int:
             )
         else:
             p.error("domain-pr needs --url-edges or --pages")
-        de = domain_edges(pairs, by=args.domain_by).localCheckpoint(eager=True)
+        de = domain_edges(pairs, by=args.domain_by).transform(truncate_plan)
         doms = de.select(F.col("src_domain").alias("url")).unionByName(
             de.select(F.col("dst_domain").alias("url"))
         )

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from graphblast_spark.functions.text import tokens
+from graphblast_spark.runtime.superstep import truncate_plan
 
 
 def shingles(col: Column, n_words: int = 3) -> Column:
@@ -158,7 +159,7 @@ def lsh_candidate_pairs(
     (measured 2× end-to-end), and unlike ``persist()`` the checkpoint
     blocks are released when the result goes out of scope (no leaked
     cache entry per call)."""
-    banded = band_keys(sigs, bands, rows_per_band).localCheckpoint(eager=True)
+    banded = band_keys(sigs, bands, rows_per_band).transform(truncate_plan)
     l = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("a"))
     r = banded.select(F.col("band"), F.col("bkey"), F.col("doc_id").alias("b"))
     return (
@@ -226,7 +227,7 @@ def near_duplicate_clusters(
     pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     verified = ngram_jaccard_pairs(
         docs, pairs, id_col, text_col, n_words=n_words, threshold=threshold
-    ).localCheckpoint(eager=True)  # feeds both the CC vertex set and edges
+    ).transform(truncate_plan)  # feeds both the CC vertex set and edges
     return _clusters_from_pairs(docs, id_col, verified)
 
 
@@ -333,7 +334,7 @@ def simhash_hamming_clusters(
     closure; cluster_id = min doc_id, is_canonical marks the keeper."""
     pairs = simhash_hamming_pairs(
         docs, id_col, text_col, bits=bits, max_hamming=max_hamming
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     return _clusters_from_pairs(docs, id_col, pairs)
 
 

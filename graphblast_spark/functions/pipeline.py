@@ -46,6 +46,7 @@ from graphblast_spark.functions.text import (
     add_quality,
     add_repetition_signals,
 )
+from graphblast_spark.runtime.superstep import truncate_plan
 
 REASONS = (
     "lang", "quality", "repetition", "exact_dup", "near_dup",
@@ -85,9 +86,7 @@ def clean_corpus(
             "repetition",
         )
     )
-    verdicts = sig.select("doc_id", "text", reason.alias("reason")).localCheckpoint(
-        eager=True
-    )
+    verdicts = sig.select("doc_id", "text", reason.alias("reason")).transform(truncate_plan)
 
     def _reject(rejects: DataFrame, tag: str) -> DataFrame:
         """Fold a (doc_id) reject set into verdicts as first-null reason."""
@@ -96,7 +95,7 @@ def clean_corpus(
             .select(
                 "doc_id", "text", F.coalesce("reason", "__r").alias("reason")
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
 
     def _survivors() -> DataFrame:

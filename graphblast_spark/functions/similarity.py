@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from graphblast_spark.runtime.superstep import truncate_plan
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -109,6 +110,7 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_sample: int | str | None = "auto",
 ) -> DataFrame:
     """Deterministic Lloyd k-means coarse quantizer → (cell, centroid).
 
@@ -119,11 +121,17 @@ def kmeans_centroids(
     id-order clustering — a first-k or random draw can start every
     seed inside one dense region and leave Lloyd in a mixture-centroid
     local optimum; farthest-first provably 2-approximates the k-center
-    cover, so every real cluster gets a seed. Cost: k-1 passes over
-    the corpus (one aggregated argmin each — no shuffle of the corpus,
-    lineage truncated every 8 rounds). For quantizers with large k,
-    train on a deterministic hash-sample of the corpus and pass the
-    result via ``centroids=`` downstream.
+    cover, so every real cluster gets a seed. Cost: k-1 sequential
+    aggregated-argmin passes — so above a size threshold the init
+    scans a bounded deterministic hash-sample, not the corpus:
+    ``init_sample="auto"`` (default) caps the init set at
+    ``max(4096, 256·k)`` rows via an ``xxhash64(id) % m == 0`` filter
+    (retry-stable, partitioning-independent) whenever the corpus
+    exceeds that cap — below it (every sandbox fixture) the sample IS
+    the full corpus. Pass an int to force a cap, or None to always
+    scan everything. Lloyd always refines over the FULL corpus, so
+    sampling only moves the init seeds, never the fitted cells'
+    training set.
 
     Then fixed-count Lloyd: assign every vector to its argmax-cosine
     centroid (broadcast score + aggregated argmax, no window), and
@@ -135,6 +143,23 @@ def kmeans_centroids(
     remains only for the SQL-oracle contract queries."""
     spark = vectors.sparkSession
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    if init_sample == "auto":
+        cap = max(4096, 256 * k)
+    elif init_sample is None:
+        cap = None
+    elif isinstance(init_sample, int):
+        cap = max(init_sample, k)  # need at least k candidates
+    else:
+        raise ValueError(
+            f"init_sample must be 'auto', None, or an int; got {init_sample!r}"
+        )
+    if cap is not None:
+        n_corpus = v.count()
+        if n_corpus > cap:
+            mod = max(1, n_corpus // cap)
+            v = v.filter(
+                F.pmod(F.xxhash64(F.col("vid")), F.lit(mod)) == 0
+            ).transform(truncate_plan)
     seed0 = v.orderBy("vid").limit(1).first()
     seeds = [list(seed0["vv"])]
     state = v.withColumn(
@@ -152,11 +177,11 @@ def kmeans_centroids(
             ),
         )
         if i % 8 == 0:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(truncate_plan)
     cents = spark.createDataFrame(
         [(i, [float(x) for x in s]) for i, s in enumerate(seeds)],
         "cell int, centroid array<float>",
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     for _ in range(iters):
         assigned = _assign_cells(vectors, cents, 1, id_col, vec_col)
         means = (
@@ -174,7 +199,7 @@ def kmeans_centroids(
         cents = (
             cents.join(means, on="cell", how="left")
             .select("cell", F.coalesce("new_centroid", "centroid").alias("centroid"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_plan)
         )
     return cents
 
@@ -204,7 +229,7 @@ def ivf_topk(
             centroids = _firstn_centroids(corpus, n_cells, id_col, vec_col)
     # materialized once (k rows): both _assign_cells passes broadcast it;
     # localCheckpoint (not persist) so the blocks release with the result
-    centroids = centroids.localCheckpoint(eager=True)
+    centroids = centroids.transform(truncate_plan)
     assigned = _assign_cells(corpus, centroids, 1, id_col, vec_col).select(
         F.col("vid").alias("neighbor_id"), F.col("vv").alias("cv"), "cell"
     )
@@ -253,9 +278,7 @@ def cosine_near_dup_pairs(
             centroids = _firstn_centroids(vectors, n_cells, id_col, vec_col)
         # materialize once — the self-join below would otherwise run the
         # scoring+argmax pipeline for both sides
-        assigned = _assign_cells(vectors, centroids, 1, id_col, vec_col).localCheckpoint(
-            eager=True
-        )
+        assigned = _assign_cells(vectors, centroids, 1, id_col, vec_col).transform(truncate_plan)
         a = assigned.select(F.col("vid").alias("a"), F.col("vv").alias("va"), "cell")
         b = assigned.select(F.col("vid").alias("b"), F.col("vv").alias("vb"), "cell")
         pairs = a.join(b, on="cell").drop("cell")
@@ -286,7 +309,7 @@ def embedding_dedup_clusters(
 
     pairs = cosine_near_dup_pairs(
         vectors, threshold, n_cells, id_col, vec_col, quantizer=quantizer
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_plan)
     if not pairs.head(1):  # no near-dups anywhere: all singletons
         return vectors.select(
             F.col(id_col).alias("vec_id"),

@@ -33,6 +33,80 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` + Catalyst size-statistic reset — THE
+    lineage truncation for superstep loops (use as
+    ``df.transform(truncate_plan)``).
+
+    ``localCheckpoint`` alone is not enough. Its ``LogicalRDD`` carries
+    the ORIGIN plan's ``Statistics`` forward, and Spark's default
+    (non-CBO) stats visitor estimates every inner/outer join as the
+    PRODUCT of its children's ``sizeInBytes``. In a loop whose state
+    feeds a self-join, the estimate therefore *squares* every
+    superstep — measured on Spark 4.1: the stat's decimal digit count
+    doubles per iteration (22 → 54 → 118 → … → 10^6 digits by ~iter
+    16). The number is a ``BigInteger``; every action then formats the
+    plan tree for the SQL UI (``SQLExecution.withNewExecutionId`` and
+    AQE's ``onUpdatePlan`` → ``QueryExecution.explainString`` →
+    ``Statistics.simpleString`` → ``Utils.bytesToString`` →
+    ``BigDecimal.bigDigitLength`` → ``BigInteger.pow(10, n)``), whose
+    Toom-Cook squaring is superlinear in the digit count — so
+    per-superstep DRIVER wall time doubles every round (1 s → 36 s in
+    8 rounds on a 37k-edge input) while executor time stays flat, and
+    the JVM eventually dies allocating the number itself. This was
+    round 3's "pointer-jump pathology"; thread dumps pinned every
+    slow second inside ``BigInteger.square`` under ``explainString``.
+
+    The cure: rebuild the DataFrame JVM-side from the *checkpointed*
+    RDD (zero recompute, no Python round-trip) — the fresh
+    ``LogicalRDD`` has no origin stats, so ``sizeInBytes`` resets to
+    the bounded session default and join estimates stay a few dozen
+    digits no matter how many supersteps compound. Estimating the
+    checkpointed state as "large" is the safe direction at scale: the
+    engine's hot joins pin their strategy with explicit hints, and an
+    oversized estimate can only suppress an automatic broadcast, never
+    produce one that OOMs. Falls back to the plain checkpoint when the
+    internal constructor is unavailable (e.g. Spark Connect)."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        jspark = df.sparkSession._jsparkSession
+        fresh = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, df.sparkSession)
+    except Exception:
+        return ck
+
+
+@contextmanager
+def scaled_shuffle(spark: SparkSession, n_rows: int, rows_per_partition: int = 150_000):
+    """Clamp ``spark.sql.shuffle.partitions`` to the superstep state's
+    actual size for the duration of an iterative loop, then restore.
+
+    Superstep loops inherit the session's shuffle width, which is sized
+    for the BATCH queries' data volume. When the loop state is small
+    (a trimmed web-graph remainder, a converging frontier), a 5-stage
+    superstep at the session default of 32+ partitions schedules
+    hundreds of near-empty tasks whose fixed cost (launch + codegen
+    init, ~50-100 ms each) dwarfs the actual work — measured 31 s of
+    executorRunTime per superstep for a 37k-edge input, collapsing to
+    ~2 s at 4 partitions. At scale the clamp is a no-op: one partition
+    per ``rows_per_partition`` rows reaches the session default long
+    before real cluster inputs (10^9+ rows), so batch-sized widths are
+    preserved exactly when they matter. Keeps every downstream join
+    co-partitioned because the loop's persisted inputs are built under
+    the same width."""
+    key = "spark.sql.shuffle.partitions"
+    old = int(spark.conf.get(key))
+    target = max(4, min(old, -(-int(n_rows) // rows_per_partition)))
+    spark.conf.set(key, str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set(key, str(old))
+
+
 @contextmanager
 def stable_partitions(spark: SparkSession):
     """Disable AQE partition coalescing for the duration of a superstep
@@ -102,7 +176,7 @@ class SuperstepRunner:
         """Returns (state, next_iter, scalars). next_iter==0 means fresh."""
         meta = self.latest_checkpoint()
         if meta is None:
-            state = {k: df.localCheckpoint(eager=True) for k, df in init_fn().items()}
+            state = {k: truncate_plan(df) for k, df in init_fn().items()}
             return state, 0, {}
         it = meta["iter"]
         state = {
@@ -113,9 +187,10 @@ class SuperstepRunner:
 
     # -- per-iteration bookkeeping ---------------------------------------
     def truncate(self, state: dict[str, DataFrame]) -> dict[str, DataFrame]:
-        """Eager localCheckpoint — forces materialization AND truncates
-        lineage (the superstep 'action')."""
-        return {k: df.localCheckpoint(eager=True) for k, df in state.items()}
+        """Eager localCheckpoint + stat reset — forces materialization
+        AND truncates lineage (the superstep 'action'); see
+        :func:`truncate_plan` for why the stat reset is load-bearing."""
+        return {k: truncate_plan(df) for k, df in state.items()}
 
     def commit(
         self,

@@ -28,6 +28,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from graphblast_spark.runtime.superstep import truncate_plan
 
 _TEXT_RE = "<p>(.*?)</p>"
 _HREF_RE = 'href="([^"]*)"'
@@ -92,7 +93,7 @@ def assign_dense_ids(urls: DataFrame, num_partitions: int | None = None) -> Data
         .repartitionByRange(num_partitions, "url")
         .sortWithinPartitions("url")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     counts = dict(
         sorted_urls.groupBy("__pid").agg(F.count_distinct("url").alias("c")).collect()
@@ -146,7 +147,7 @@ def distill_edges(
     # released when the result goes out of scope. At real web scale
     # this materialization is the parquet/Iceberg staging table the
     # binary-cache analog describes (util.hpp:331-357).
-    cols = extract_columns(pages).localCheckpoint(eager=True)
+    cols = extract_columns(pages).transform(truncate_plan)
     url_map = assign_dense_ids(cols.select("url"), num_partitions).persist()
 
     # self-loop filter + dedup run at the URL level, BEFORE the id joins:

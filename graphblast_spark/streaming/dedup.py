@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphblast_spark.functions.dedup import band_keys, minhash_signature
+from graphblast_spark.runtime.superstep import truncate_plan
 
 _SIG_SCHEMA = "doc_id long, fp_md5 string, sig array<long>"
 _BAND_SCHEMA = "doc_id long, band int, bkey string"
@@ -72,9 +73,9 @@ def dedup_gate_batch(
             batch.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("fp_md5")),
             "doc_id",
         )
-        .localCheckpoint(eager=True)  # one extraction pass, many consumers
+        .transform(truncate_plan)  # one extraction pass, many consumers
     )
-    bkeys = band_keys(sigs, bands, rows_per_band).localCheckpoint(eager=True)
+    bkeys = band_keys(sigs, bands, rows_per_band).transform(truncate_plan)
 
     # -- exact tier: md5 match against state, then within-batch ---------
     prior_exact = (
@@ -129,7 +130,7 @@ def dedup_gate_batch(
             .alias("verdict"),
             F.coalesce("e", "n").alias("dup_of"),
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_plan)
     )
     kept = decisions.filter(F.col("verdict") == "kept").select("doc_id")
     new_sigs = sigs.join(kept, "doc_id").select("doc_id", "fp_md5", "sig")

@@ -357,6 +357,44 @@ def test_arrow_kernel_agrees_with_join_vecmat(spark):
     g.unpersist()
 
 
+def test_kmeans_sampled_init_deterministic_and_auto_full_below_cap(spark):
+    """init_sample='auto' must equal init_sample=None below the cap
+    (the sandbox-fixture regime), and a forced small sample must stay
+    deterministic (hash filter, not RNG) while still fitting k cells
+    because Lloyd refines over the FULL corpus."""
+    from graphblast_spark.functions.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    means = np.eye(3, 8) * 10.0
+    rows = []
+    for c in range(3):
+        for j in range(40):
+            v = (means[c] + 0.1 * rng.normal(size=8)).astype("float32")
+            rows.append((c * 1000 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = {r["cell"]: tuple(r["centroid"])
+            for r in kmeans_centroids(df, k=3, iters=3, init_sample=None).collect()}
+    auto = {r["cell"]: tuple(r["centroid"])
+            for r in kmeans_centroids(df, k=3, iters=3, init_sample="auto").collect()}
+    assert auto == full  # 120 rows < 4096 cap → sample IS the corpus
+
+    s1 = {r["cell"]: tuple(r["centroid"])
+          for r in kmeans_centroids(df, k=3, iters=3, init_sample=30).collect()}
+    s2 = {r["cell"]: tuple(r["centroid"])
+          for r in kmeans_centroids(df, k=3, iters=3, init_sample=30).collect()}
+    assert s1 == s2 and len(s1) == 3
+    # sampled init still lands every centroid on a true cluster
+    for cvec in s1.values():
+        c = np.array(cvec)
+        best = max(float(m @ c / (np.linalg.norm(m) * np.linalg.norm(c)))
+                   for m in means)
+        assert best > 0.99
+
+    with pytest.raises(ValueError, match="init_sample"):
+        kmeans_centroids(df, k=3, init_sample="Auto")
+
+
 def test_ivf_default_kmeans_recall_beats_firstn(spark):
     """Default quantizer is kmeans; on an id-clustered corpus (first n
     ids all in one cluster — the adversarial case for first-n cells)

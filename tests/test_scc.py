@@ -159,3 +159,32 @@ def test_weighted_pagerank_follows_heavy_edge(spark):
     g = Graph.build(e, vertices=v)
     pw = {r.id: r.val for r in pagerank(g, fixed_iters=20, weighted=True).collect()}
     assert pw[1] > pw[2] * 3
+
+
+def test_max_coloring_pointer_jump_flat_and_logarithmic(spark):
+    """Pin the round-4 pointer-jump recipe (scc.py _max_coloring):
+    O(log d) supersteps on a worst-case path, with per-superstep wall
+    time FLAT — the round-3 pathology (wall doubling every round in a
+    lineage-truncated-between-joins variant) must not come back."""
+    import time as _t
+
+    from graphblast_spark.algorithms.scc import _max_coloring
+
+    N = 2048
+    edges = spark.range(N - 1).select(
+        (F.col("id") + 1).alias("src"), F.col("id").alias("dst")
+    ).repartition(8, "src").persist()
+    edges.count()
+    verts = spark.range(N).select("id")
+
+    t0 = _t.time()
+    color = _max_coloring(edges, verts, "src", "dst", max_inner=40)
+    wall = _t.time() - t0
+    got = {r["id"]: r["val"] for r in color.collect()}
+    assert all(got[i] == N - 1 for i in range(N))  # max id reaches all
+    # O(log N) supersteps at sub-second each: the whole fixpoint on a
+    # 2048-diameter path must land far below the 40-superstep budget's
+    # O(diameter) cost. Generous bound (noisy box): 120 s would mean
+    # either O(d) rounds or the doubling pathology returned.
+    assert wall < 120, f"pointer-jump coloring took {wall:.1f}s on a 2k path"
+    edges.unpersist()
