@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from graphblast_spark.descriptor import DEFAULT_DESC
 from graphblast_spark.matrix import Graph
-from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
+from graphblast_spark.runtime.superstep import (
+    SuperstepRunner,
+    scaled_partition_count,
+    stable_partitions,
+    truncate_plan,
+)
 
 
 def neighborhood_function_exact(
@@ -88,7 +93,7 @@ def hyperball(
     aggregate; one scalar action reads Σ estimate. State: |V| sketch
     rows, lineage truncated each round."""
     spark = g.edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = scaled_partition_count(spark, g.edges.count())
     e = g.edges.select("src", "dst").repartition(n_part, "src").persist()
     e.count()
     if runner is None:
@@ -106,7 +111,7 @@ def hyperball(
         )
 
     rows = [(0, total(counters))]
-    with stable_partitions(spark):
+    with stable_partitions(spark, shuffle_partitions=n_part):
         for t in range(1, max_t + 1):
             cs = counters.hint("shuffle_hash")
             gathered = (
@@ -174,7 +179,7 @@ def harmonic_centrality_hyperball(
 
     Returns (id long, harmonic double)."""
     spark = g.edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = scaled_partition_count(spark, g.edges.count())
     e = g.edges.select("src", "dst").repartition(n_part, "src").persist()
     e.count()
     if runner is None:
@@ -192,7 +197,7 @@ def harmonic_centrality_hyperball(
         return float(c.agg(F.sum("est")).first()[0])
 
     prev_total = total(counters)
-    with stable_partitions(spark):
+    with stable_partitions(spark, shuffle_partitions=n_part):
         for t in range(1, max_t + 1):
             cs = counters.hint("shuffle_hash")
             gathered = (

@@ -107,20 +107,40 @@ def scaled_shuffle(spark: SparkSession, n_rows: int, rows_per_partition: int = 1
         spark.conf.set(key, str(old))
 
 
+def scaled_partition_count(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 150_000
+) -> int:
+    """Partition width for a superstep loop over ``n_rows`` rows of
+    state/edges: one partition per ``rows_per_partition`` rows, clamped
+    to [4, session default] — see :func:`scaled_shuffle` for why."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(default, -(-int(n_rows) // rows_per_partition)))
+
+
 @contextmanager
-def stable_partitions(spark: SparkSession):
+def stable_partitions(spark: SparkSession, shuffle_partitions: int | None = None):
     """Disable AQE partition coalescing for the duration of a superstep
     loop. Coalescing re-plans every iteration's small shuffles down to a
     handful of partitions, then the next join must redistribute again —
     measured 1.7× slower on a 16M-edge PageRank loop at local[32]. The
-    batch (non-iterative) queries keep coalescing on."""
+    batch (non-iterative) queries keep coalescing on.
+
+    ``shuffle_partitions`` (usually from :func:`scaled_partition_count`)
+    additionally pins the loop's shuffle width for the block — the
+    static analog of the disabled coalescing, sized once from the
+    loop's actual data instead of re-planned every superstep."""
     key = "spark.sql.adaptive.coalescePartitions.enabled"
+    pkey = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key, "true")
+    old_p = spark.conf.get(pkey)
     spark.conf.set(key, "false")
+    if shuffle_partitions is not None:
+        spark.conf.set(pkey, str(shuffle_partitions))
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        spark.conf.set(pkey, old_p)
 
 
 def child_runner(runner: "SuperstepRunner | None", spark: SparkSession, tag: str) -> "SuperstepRunner":
