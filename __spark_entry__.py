@@ -300,6 +300,23 @@ def q_g_lp_min(spark, sf_dir):
     return label_propagation_min(g).select("id", "label")
 
 
+def q_g_modularity(spark, sf_dir):
+    """Directed modularity contributions of the 2-iteration majority-
+    vote LP partition on the co-purchase graph (42 communities at
+    sf0.01 → nontrivial per-community terms; more iterations collapse
+    the dense co-purchase graph to one label and the min-label variant
+    converges to the giant component — both 1-row contracts) —
+    algorithms/lp.py community_modularity; the oracle replays the
+    lp_majority recursive CTE plus the two label joins."""
+    from graphblast_spark.algorithms import community_modularity
+
+    g = copurchase_graph(spark, sf_dir)
+    labels = label_propagation_majority(g, iters=2)
+    return community_modularity(g, labels).select(
+        "label", "within_weight", "out_strength", "in_strength", "contribution"
+    )
+
+
 def _min_part(spark, sf_dir) -> int:
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
         F.min("l_partkey")
@@ -1111,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_edge_support": q_g_edge_support,
         "g_lp_majority": q_g_lp_majority,
         "g_lp_min": q_g_lp_min,
+        "g_modularity": q_g_modularity,
         "g_bfs": q_g_bfs,
         "g_sssp": q_g_sssp,
         "g_mis": q_g_mis,
@@ -2009,6 +2027,54 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.iter, e.src
             )
             SELECT id, l AS label FROM lbl WHERE iter = 40""",
+        "g_modularity": f"""
+            WITH RECURSIVE {_EDGES}, {_VERTICES},
+            ew AS (
+              SELECT src, dst, 1 AS w FROM edges
+              UNION ALL
+              SELECT id, id, 0 FROM vertices
+            ),
+            lp(iter, id, lbl) AS (
+              SELECT 0, id, id FROM vertices
+              UNION ALL
+              SELECT iter + 1, id, arg_max(lbl, cnt * 100000000 - lbl)
+              FROM (
+                SELECT p.iter AS iter, e.src AS id, p.lbl AS lbl, sum(e.w) AS cnt
+                FROM lp p JOIN ew e ON p.id = e.dst
+                GROUP BY p.iter, e.src, p.lbl
+              )
+              WHERE iter < 2
+              GROUP BY iter, id
+            ),
+            labels AS (SELECT id, lbl AS label FROM lp WHERE iter = 2),
+            m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges),
+            je AS (
+              SELECT la.label AS lab_s, lb.label AS lab_d
+              FROM edges e
+              JOIN labels la ON e.src = la.id
+              JOIN labels lb ON e.dst = lb.id
+            ),
+            outs AS (
+              SELECT lab_s AS label,
+                     CAST(count(*) AS DOUBLE) AS out_strength,
+                     CAST(sum(CASE WHEN lab_s = lab_d THEN 1 ELSE 0 END) AS DOUBLE) AS w
+              FROM je GROUP BY lab_s
+            ),
+            ins AS (
+              SELECT lab_d AS label, CAST(count(*) AS DOUBLE) AS in_strength
+              FROM je GROUP BY lab_d
+            )
+            SELECT l.label,
+                   coalesce(o.w, 0.0) AS within_weight,
+                   coalesce(o.out_strength, 0.0) AS out_strength,
+                   coalesce(i.in_strength, 0.0) AS in_strength,
+                   round(coalesce(o.w, 0.0) / m.m
+                         - coalesce(o.out_strength, 0.0) * coalesce(i.in_strength, 0.0)
+                           / (m.m * m.m), 6) AS contribution
+            FROM (SELECT DISTINCT label FROM labels) l
+            LEFT JOIN outs o USING (label)
+            LEFT JOIN ins i USING (label)
+            CROSS JOIN m""",
         "g_lp_majority": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},
             ew AS (

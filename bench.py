@@ -244,6 +244,7 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
     nvals = None
     n_vertices = 1 << scale
     for cores in (n, n4):
+        load_before = round(os.getloadavg()[0], 2)
         spark = _mk_spark(f"local[{cores}]", parts)
         vertices = spark.range(0, n_vertices).select("id")
         edges = spark.read.parquet(edges_path)
@@ -271,6 +272,15 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
             _, t = _timed(lambda: pagerank(g, fixed_iters=pr_iters, w_edges=w_edges).count())
             results[cores] = {"sec": round(t, 3), "iters": pr_iters,
                               "etps": nvals * pr_iters / t}
+        # Self-documenting contention gate: a 1-min load average above
+        # cores + 2 when this process IS the only intended load means a
+        # noisy-neighbor window overlapped the phase (VERDICT r3 task 1
+        # applied to scaling mode). load_before additionally catches a
+        # phase started while the previous job's load was still draining.
+        load_after = round(os.getloadavg()[0], 2)
+        results[cores]["load_before"] = load_before
+        results[cores]["load_after"] = load_after
+        results[cores]["contended"] = load_after > cores + 2 or load_before > 2
         spark.stop()
         time.sleep(2)
     assert results[n]["iters"] == results[n4]["iters"], "superstep counts diverged"
@@ -299,7 +309,12 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
             f"| local[{n}] | {results[n]['sec']} | {results[n]['etps']:.3e} |\n"
             f"| local[{n4}] | {results[n4]['sec']} | {results[n4]['etps']:.3e} |\n\n"
             f"scaling efficiency {n}→{n4} cores = "
-            f"**{eff:.3f}** (target ≥ 0.8 at {n4/n:.0f}× cores)\n"
+            f"**{eff:.3f}** (target ≥ 0.8 at {n4/n:.0f}× cores)\n\n"
+            f"phase loads (1-min avg before → after): "
+            f"local[{n}] {results[n]['load_before']} → {results[n]['load_after']}"
+            f"{' **CONTENDED**' if results[n]['contended'] else ''}; "
+            f"local[{n4}] {results[n4]['load_before']} → {results[n4]['load_after']}"
+            f"{' **CONTENDED**' if results[n4]['contended'] else ''}\n"
         )
     shutil.rmtree(scratch, ignore_errors=False) if os.environ.get(
         "SPARK_GRAFT_CLEAN_SCRATCH") else None

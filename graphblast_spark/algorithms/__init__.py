@@ -7,7 +7,12 @@ from graphblast_spark.algorithms.pagerank import (
 )
 from graphblast_spark.algorithms.bc import betweenness_centrality
 from graphblast_spark.algorithms.cc import connected_components
-from graphblast_spark.algorithms.lp import label_propagation_majority, label_propagation_min
+from graphblast_spark.algorithms.lp import (
+    community_modularity,
+    label_propagation_majority,
+    label_propagation_min,
+    modularity,
+)
 from graphblast_spark.algorithms.tc import triangle_count
 from graphblast_spark.algorithms.bfs import bfs
 from graphblast_spark.algorithms.sssp import sssp
@@ -52,8 +57,10 @@ __all__ = [
     "neighborhood_function_exact",
     "effective_diameter",
     "harmonic_centrality_hyperball",
+    "community_modularity",
     "label_propagation_majority",
     "label_propagation_min",
+    "modularity",
     "triangle_count",
     "bfs",
     "sssp",

@@ -139,3 +139,65 @@ def label_propagation_majority(
             labels = state["labels"]
     e_sym.unpersist()
     return labels.select("id", F.col("val").alias("label"))
+
+
+def community_modularity(g: Graph, labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-community directed weighted modularity contributions:
+    (label, within_weight, out_strength, in_strength, contribution)
+    with contribution = within/m − (out·in)/m² (Leicht–Newman directed
+    form; on a symmetrized graph it reduces to Newman's Q per
+    community). ``modularity(g, labels) = Σ contribution``.
+
+    The reference ships no community-quality metric — this scores the
+    engine's own LP/CC partitions (SURVEY §2.9 lp/cc are north-rule
+    algorithms; a partition you can't score is a partition you can't
+    tune).
+
+    Plan shape at 10^12 edges: two hash joins of the edge table against
+    the (id, label) table on src and dst — the PageRank-superstep
+    pattern, hub skew absorbed by map-side partial aggregation on
+    labels — then label-keyed aggregates and one broadcast of the
+    1-row total-weight frame. No collect, no window, no crossJoin of
+    anything non-scalar."""
+    la = labels.select(F.col("id").alias("src"), F.col(label_col).alias("lab_s"))
+    lb = labels.select(F.col("id").alias("dst"), F.col(label_col).alias("lab_d"))
+    je = g.edges.join(la, "src").join(lb, "dst")
+    outs = je.groupBy(F.col("lab_s").alias("label")).agg(
+        F.sum("val").alias("out_strength"),
+        F.sum(F.when(F.col("lab_s") == F.col("lab_d"), F.col("val"))).alias("w"),
+    )
+    ins = je.groupBy(F.col("lab_d").alias("label")).agg(
+        F.sum("val").alias("in_strength")
+    )
+    m1 = g.edges.agg(F.sum("val").alias("m"))
+    return (
+        labels.select(F.col(label_col).alias("label")).distinct()
+        .join(outs, "label", "left")
+        .join(ins, "label", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "label",
+            F.coalesce("w", F.lit(0.0)).alias("within_weight"),
+            F.coalesce("out_strength", F.lit(0.0)).alias("out_strength"),
+            F.coalesce("in_strength", F.lit(0.0)).alias("in_strength"),
+            F.round(
+                F.coalesce("w", F.lit(0.0)) / F.col("m")
+                - (
+                    F.coalesce("out_strength", F.lit(0.0))
+                    * F.coalesce("in_strength", F.lit(0.0))
+                )
+                / (F.col("m") * F.col("m")),
+                6,
+            ).alias("contribution"),
+        )
+    )
+
+
+def modularity(g: Graph, labels: DataFrame, label_col: str = "label") -> float:
+    """Scalar modularity Q of a vertex partition (see
+    :func:`community_modularity`)."""
+    return float(
+        community_modularity(g, labels, label_col)
+        .agg(F.sum("contribution"))
+        .first()[0]
+    )

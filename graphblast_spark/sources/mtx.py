@@ -70,3 +70,25 @@ def fixture_graph(
 def mtx_graph(spark: SparkSession, path: str, directed: int = 1) -> Graph:
     n, symmetric, edges = read_mtx(path)
     return _to_graph(spark, n, symmetric, edges, directed)
+
+
+def write_mtx(g: Graph, path: str, pattern: bool = False) -> None:
+    """Single-file MatrixMarket export — the interchange artifact the
+    reference's own tooling consumes (mmio.hpp reads what this writes;
+    round-trips through :func:`read_mtx`/:func:`mtx_graph` exactly).
+    1-based coordinates, (row, col)-sorted like customSort;
+    ``pattern=True`` drops values and writes a pattern banner.
+
+    Driver-streamed via ``toLocalIterator`` (one partition in memory at
+    a time) because a .mtx is by definition a single local text file —
+    this is the hand-off to single-node tooling, NOT a cluster sink;
+    at scale use ``sources.store.save_graph`` (bucketed parquet)."""
+    kind = "pattern" if pattern else "real"
+    with open(path, "w") as fh:
+        fh.write(f"%%MatrixMarket matrix coordinate {kind} general\n")
+        fh.write(f"{g.n} {g.n} {g.nvals}\n")
+        for r in g.edges.orderBy("src", "dst").toLocalIterator():
+            if pattern:
+                fh.write(f"{r.src + 1} {r.dst + 1}\n")
+            else:
+                fh.write(f"{r.src + 1} {r.dst + 1} {r.val:.17g}\n")
