@@ -317,6 +317,37 @@ def q_g_modularity(spark, sf_dir):
     )
 
 
+def q_g_degree_hist(spark, sf_dir):
+    from graphblast_spark.algorithms import degree_histogram
+
+    g = copurchase_graph(spark, sf_dir)
+    return degree_histogram(g, direction="out").select("degree", "n_vertices")
+
+
+def q_g_reciprocity(spark, sf_dir):
+    """On the ordseq graph — genuinely directed (the copurchase graph
+    is symmetric by construction and would pin the trivial 1.0)."""
+    from graphblast_spark.algorithms import reciprocity
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return reciprocity(g).select("n_edges", "n_reciprocal", "reciprocity")
+
+
+def q_g_assortativity(spark, sf_dir):
+    from graphblast_spark.algorithms import degree_assortativity
+
+    g = copurchase_graph(spark, sf_dir)
+    return degree_assortativity(g).select("assortativity")
+
+
+def q_g_lcc(spark, sf_dir):
+    from graphblast_spark.algorithms import local_clustering_coefficient
+
+    g = copurchase_graph(spark, sf_dir)
+    return local_clustering_coefficient(g).select("id", "triangles", "lcc")
+
+
 def _min_part(spark, sf_dir) -> int:
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
         F.min("l_partkey")
@@ -1129,6 +1160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_lp_majority": q_g_lp_majority,
         "g_lp_min": q_g_lp_min,
         "g_modularity": q_g_modularity,
+        "g_degree_hist": q_g_degree_hist,
+        "g_reciprocity": q_g_reciprocity,
+        "g_assortativity": q_g_assortativity,
+        "g_lcc": q_g_lcc,
         "g_bfs": q_g_bfs,
         "g_sssp": q_g_sssp,
         "g_mis": q_g_mis,
@@ -2075,6 +2110,68 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN outs o USING (label)
             LEFT JOIN ins i USING (label)
             CROSS JOIN m""",
+        "g_degree_hist": f"""
+            WITH {_EDGES}, {_VERTICES},
+            deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src)
+            SELECT coalesce(d.degree, 0) AS degree, count(*) AS n_vertices
+            FROM vertices v LEFT JOIN deg d ON v.id = d.id
+            GROUP BY 1""",
+        "g_reciprocity": f"""
+            WITH oe AS ({SQL_ORDSEQ_EDGES}),
+            n AS (SELECT count(*) AS n_edges FROM oe),
+            r AS (
+              SELECT count(*) AS n_reciprocal FROM oe e
+              WHERE EXISTS (
+                SELECT 1 FROM oe x WHERE x.src = e.dst AND x.dst = e.src
+              )
+            )
+            SELECT n.n_edges, r.n_reciprocal,
+                   CASE WHEN n.n_edges > 0
+                        THEN round(r.n_reciprocal / CAST(n.n_edges AS DOUBLE), 6)
+                        ELSE 0.0 END AS reciprocity
+            FROM n CROSS JOIN r""",
+        "g_assortativity": f"""
+            WITH {_EDGES},
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst
+            ),
+            bo AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT a AS id, count(*) AS d FROM bo GROUP BY a)
+            SELECT round(corr(da.d, db.d), 6) AS assortativity
+            FROM bo JOIN deg da ON bo.a = da.id JOIN deg db ON bo.b = db.id""",
+        "g_lcc": f"""
+            WITH {_EDGES}, {_VERTICES},
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst
+            ),
+            deg AS (
+              SELECT id, count(*) AS d FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+              ) GROUP BY id
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            cr AS (
+              SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            pv AS (SELECT id, count(*) AS triangles FROM cr GROUP BY id)
+            SELECT v.id,
+                   coalesce(pv.triangles, 0) AS triangles,
+                   CASE WHEN coalesce(deg.d, 0) >= 2
+                        THEN round(2.0 * coalesce(pv.triangles, 0)
+                                   / (deg.d * (deg.d - 1)), 6)
+                        ELSE 0.0 END AS lcc
+            FROM vertices v
+            LEFT JOIN pv ON v.id = pv.id
+            LEFT JOIN deg ON v.id = deg.id""",
         "g_lp_majority": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},
             ew AS (

@@ -7,6 +7,12 @@ from graphblast_spark.algorithms.pagerank import (
 )
 from graphblast_spark.algorithms.bc import betweenness_centrality
 from graphblast_spark.algorithms.cc import connected_components
+from graphblast_spark.algorithms.stats import (
+    degree_assortativity,
+    degree_histogram,
+    local_clustering_coefficient,
+    reciprocity,
+)
 from graphblast_spark.algorithms.lp import (
     community_modularity,
     label_propagation_majority,
@@ -58,6 +64,10 @@ __all__ = [
     "effective_diameter",
     "harmonic_centrality_hyperball",
     "community_modularity",
+    "degree_assortativity",
+    "degree_histogram",
+    "local_clustering_coefficient",
+    "reciprocity",
     "label_propagation_majority",
     "label_propagation_min",
     "modularity",
