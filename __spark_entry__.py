@@ -244,6 +244,24 @@ def q_g_cc(spark, sf_dir):
     return connected_components(g).select("id", "component")
 
 
+def q_g_cc_incremental(spark, sf_dir):
+    """Incremental FastSV CC (algorithms/cc.py
+    incremental_connected_components): cold-run on a deterministic ~6/7
+    edge subset, then warm-start on the FULL graph from those labels
+    (old labels as init + virtual star edges). Appends only merge
+    components, so the warm fixpoint must be byte-identical to the full
+    graph's cold fixpoint — the oracle is g_cc's recursive CTE."""
+    from graphblast_spark.algorithms import incremental_connected_components
+    from graphblast_spark.matrix import Graph
+
+    g = copurchase_graph(spark, sf_dir)
+    sub = g.edges.filter((F.col("src") + F.col("dst")) % 7 != 0)
+    g0 = Graph.build(sub, vertices=g.vertices)
+    prev = connected_components(g0).localCheckpoint(eager=True)
+    g0.unpersist()
+    return incremental_connected_components(g, prev).select("id", "component")
+
+
 def q_g_scc(spark, sf_dir):
     """Strongly connected components (coloring/FW-BW-trim family) on
     the directed order-sequence graph — the one fixture with real
@@ -1153,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank_weighted": q_g_pagerank_weighted,
         "g_pagerank_dangling": q_g_pagerank_dangling,
         "g_cc": q_g_cc,
+        "g_cc_incremental": q_g_cc_incremental,
         "g_scc": q_g_scc,
         "g_bowtie": q_g_bowtie,
         "g_condensation": q_g_condensation,
@@ -1815,7 +1834,7 @@ lv AS (SELECT root, id, CAST(min(depth) AS BIGINT) AS depth FROM b GROUP BY root
 
 def oracle_sql() -> dict[str, str]:
     n_expr = "(SELECT CAST(count(*) AS DOUBLE) FROM vertices)"
-    return {
+    sql = {
         "g_build": f"WITH {_EDGES} SELECT src, dst, CAST(1.0 AS DOUBLE) AS val FROM edges",
         "g_degrees": f"WITH {_EDGES} SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src",
         "g_vecmat_spmv": f"""
@@ -3100,3 +3119,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     }
+    # The incremental warm start must land on the cold fixpoint exactly
+    # (appends only merge components) — same oracle as the cold row.
+    sql["g_cc_incremental"] = sql["g_cc"]
+    return sql

@@ -6,7 +6,11 @@ from graphblast_spark.algorithms.pagerank import (
     trustrank,
 )
 from graphblast_spark.algorithms.bc import betweenness_centrality
-from graphblast_spark.algorithms.cc import connected_components
+from graphblast_spark.algorithms.cc import (
+    connected_components,
+    incremental_connected_components,
+    remap_labels,
+)
 from graphblast_spark.algorithms.stats import (
     degree_assortativity,
     degree_histogram,
@@ -64,6 +68,8 @@ __all__ = [
     "effective_diameter",
     "harmonic_centrality_hyperball",
     "community_modularity",
+    "incremental_connected_components",
+    "remap_labels",
     "degree_assortativity",
     "degree_histogram",
     "local_clustering_coefficient",

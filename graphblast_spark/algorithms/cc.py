@@ -11,14 +11,22 @@ deterministic, unlike the reference's GPU last-write-wins scatter
 Spark formulation per superstep (undirected: edges are used in both
 orientations, the --directed 2 semantics of run_cc.sh:16):
 
-1. hook:   f'(u) = min(f(u), min_{v∈N(u)} f(v))     — join + min-agg
-2. jump:   f''(u) = f'(f'(u))                        — self-join gather
-3. converged when Σ[f'' ≠ f] == 0                    — the scalar action
+1. hook:    f'(u) = min(f(u), mngf(u)),  mngf(u) = min_{v∈N(u)} f(v)
+            — join + min-agg
+2. scatter: f'[f(u)] = min(f'[f(u)], mngf(u))        — group-by-parent
+            + merge join (cc.hpp:83-84 assignScatter, min-resolved)
+3. jump:    f''(u) = f'(f'(u))                       — self-join gather
+4. converged when Σ label stops changing             — the scalar action
 
-Both steps shrink labels monotonically, so the fixpoint is the
-component minimum; hooking alone is O(diameter) rounds, jumping makes
-long chains collapse in O(log n) — the property that matters on a
-100 TB web graph whose link chains can be thousands long.
+All three updates shrink labels monotonically, so the fixpoint is the
+component minimum. The scatter step is load-bearing for the bound:
+hook+jump alone is O(log n) from a cold start but degrades to
+O(diameter) when a lower label invades an already-flattened (depth-1
+star) region — the invader crawls one hop per superstep because there
+is no pointer chain left to compress. Scattering the invader to the
+star's ROOT lets the next jump convert the whole star at once,
+restoring O(log n) for merges — the property that matters on a 100 TB
+web graph whose link chains can be thousands long.
 """
 
 from __future__ import annotations
@@ -39,9 +47,16 @@ def connected_components(
     desc: Descriptor = DEFAULT_DESC,
     runner: SuperstepRunner | None = None,
     pointer_jump: bool = True,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id long, component long) with component = min id of the
-    connected component (treating edges as undirected)."""
+    connected component (treating edges as undirected).
+
+    ``init_labels`` (id, val) warm-starts the label table — see
+    :func:`incremental_connected_components` for when that is sound.
+    The fixpoint of min-diffusion + jumping is the per-component MIN OF
+    THE INITIAL VALUES, so arbitrary inits compute that, not the
+    component-min vertex id."""
     spark = g.edges.sparkSession
 
     # Undirected view: both orientations; duplicates are harmless under
@@ -62,7 +77,20 @@ def connected_components(
         runner = SuperstepRunner(spark)
 
     def init():
-        return {"parent": g.vertices.select("id", F.col("id").alias("val"))}
+        fresh = g.vertices.select("id", F.col("id").alias("val"))
+        if init_labels is None:
+            return {"parent": fresh}
+        # Sanitize the warm start: a label pointing at a vertex no
+        # longer in the graph would be dropped by extract_gather's
+        # inner join — fall such rows (and uncovered vertices) back to
+        # their own id.
+        valid = init_labels.join(
+            g.vertices.select(F.col("id").alias("val")), "val", "left_semi"
+        )
+        warm = fresh.drop("val").join(valid, "id", "left").select(
+            "id", F.coalesce("val", F.col("id")).alias("val")
+        )
+        return {"parent": warm}
 
     state, start_iter, _ = runner.resume_or_init(init)
     parent = state["parent"]
@@ -70,7 +98,7 @@ def connected_components(
     with stable_partitions(spark):
         for it in range(start_iter, desc.max_niter):
             t0 = time.time()
-            # (1) hooking: min neighbor parent (cc.hpp:78 MinimumSelectSecond
+            # (1a) min neighbor parent (cc.hpp:78 MinimumSelectSecond
             # vxm); shuffle-hash: probe persisted edges, build from parent
             p = parent.hint("shuffle_hash")
             nbr_min = (
@@ -78,9 +106,31 @@ def connected_components(
                 .groupBy(e_sym["src"].alias("id"))
                 .agg(F.min(p["val"]).alias("nmin"))
             )
+            j = parent.join(nbr_min, on="id", how="left")
+            # (1b) self-hook: f(u) = min(f(u), mngf(u)) (cc.hpp:90-91)
+            hooked = j.select(
+                "id", F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val"))).alias("val")
+            )
+            # (1c) scatter-hook onto the PARENT: f[f(u)] = min(f[f(u)],
+            # mngf(u)) (cc.hpp:83-84 assignScatter, min-resolved). This
+            # is the step that keeps merges O(log): once a component has
+            # flattened into a depth-1 star, a lower label invading at
+            # one member would otherwise crawl ONE HOP PER SUPERSTEP
+            # through the min-diffusion (measured: two flattened
+            # 400-chains merged mid-chain crawl 1 vertex/superstep and
+            # blow max_niter) — scattering the invader to the star's
+            # root lets the next jump convert the whole star at once.
+            # Same-component safety: f(u) is in u's component, and
+            # mngf(u) is a label FROM u's component, so the write never
+            # leaks a label across components (warm starts included).
+            scatter = (
+                j.filter(F.col("nmin") < F.col("val"))
+                .groupBy(F.col("val").alias("id"))
+                .agg(F.min("nmin").alias("__new"))
+            )
             hooked = (
-                parent.join(nbr_min, on="id", how="left")
-                .select("id", F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val"))).alias("val"))
+                hooked.join(scatter, on="id", how="left")
+                .select("id", F.least(F.col("val"), F.coalesce(F.col("__new"), F.col("val"))).alias("val"))
             )
             # (2) shortcut/jump: f[u] = f[f[u]] (cc.hpp:98-99 extractGather)
             new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
@@ -110,6 +160,91 @@ def connected_components(
             parent = state["parent"]
             if changed is False:
                 break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"max_niter={desc.max_niter} supersteps (labels still "
+                f"moving) — raise Descriptor.max_niter; a silent return "
+                f"here would hand back wrong components"
+            )
 
     e_sym.unpersist()
     return parent.select("id", F.col("val").alias("component"))
+
+
+def remap_labels(
+    prev_labels: DataFrame, old_url_map: DataFrame, new_url_map: DataFrame
+) -> DataFrame:
+    """Carry (id, val) component labels across a corpus re-distillation
+    (dense ids shift on append — distill.py assigns them in url sort
+    order). BOTH columns are vertex ids here, so both remap through the
+    stable url key: rows whose vertex OR whose label's representative
+    left the corpus drop (the warm-start init re-seeds them)."""
+    old = old_url_map.select("url", F.col("id").alias("old_id"))
+    new = new_url_map.select("url", "id")
+    ids = old.join(new, "url").select("old_id", "id")
+    return (
+        prev_labels.select(F.col("id").alias("old_id"), F.col("val").alias("old_val"))
+        .join(ids, "old_id")
+        .join(
+            ids.select(F.col("old_id").alias("old_val"), F.col("id").alias("val")),
+            "old_val",
+        )
+        .select("id", "val")
+    )
+
+
+def incremental_connected_components(
+    g: Graph,
+    prev_labels: DataFrame,
+    desc: Descriptor = DEFAULT_DESC,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Connected components after an EDGE/VERTEX APPEND, warm-started
+    from the previous run's (id, component) labels.
+
+    Two-part warm start — both parts matter:
+
+    - old vertices INIT at their old component label (new vertices at
+      their own id): the min-diffusion fixpoint is then the
+      per-component min of the old labels = the new component-min
+      vertex id, because appends only MERGE components and every old
+      label is its old component's min id;
+    - the old labels are ALSO unioned in as virtual STAR EDGES
+      (u — old_rep(u)): the rep is in u's component by construction,
+      so the star changes no component — but it keeps the previous
+      run's O(1)-depth pointer topology alive as graph structure.
+      Without it, a merge seam landing mid-chain re-diffuses the new
+      minimum one hop per superstep all the way to the old rep
+      (O(distance) supersteps); with it, the seam reaches the rep hub
+      in one hop and the whole old component in the next — any append
+      converges in O(log) supersteps of the PERTURBED region only. The
+      rep hub's fan-in is absorbed map-side by the min aggregate, the
+      same posture as every hub in the engine.
+
+    Sound for additions only: after an edge DELETION a component can
+    split and both the warm labels and the star edges poison the
+    result — run the cold version instead. If the append re-assigned
+    dense ids (sources/distill.py), remap through :func:`remap_labels`
+    first.
+
+    The streaming analog of pagerank.incremental_pagerank, completing
+    the incremental-analytics loop for the second north-rule algorithm.
+    """
+    init = prev_labels.select("id", F.col("component").alias("val"))
+    star = (
+        init.filter(F.col("id") != F.col("val"))
+        .select("id", "val")
+        .toDF("src", "dst")
+        .withColumn("val", F.lit(1.0))
+    )
+    aug = Graph.build(
+        g.edges.select("src", "dst", "val").unionByName(star),
+        vertices=g.vertices,
+        dedup=False,           # duplicates are harmless under min
+        drop_self_loops=False,  # star rows exclude self-pointers already
+    )
+    out = connected_components(aug, desc=desc, runner=runner, init_labels=init)
+    out = out.localCheckpoint(eager=True)  # materialize before release
+    aug.unpersist()
+    return out

@@ -65,7 +65,11 @@ def test_cc_resume(spark, tmp_path):
 
     r1 = SuperstepRunner(spark, run_dir=run_dir, checkpoint_every=1)
     desc = DEFAULT_DESC.with_(max_niter=1)  # simulate dying after 1 iter
-    connected_components(g, desc=desc, runner=r1)
+    # max_niter exhaustion now fails loudly instead of returning a
+    # non-converged label table — the superstep-0 checkpoint is durable
+    # before the raise, which is exactly the crash being simulated.
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(g, desc=desc, runner=r1)
 
     r2 = SuperstepRunner(spark, run_dir=run_dir, checkpoint_every=1)
     resumed = {
