@@ -107,10 +107,8 @@ def connected_components(
                 .agg(F.min(p["val"]).alias("nmin"))
             )
             j = parent.join(nbr_min, on="id", how="left")
+            hv = F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val")))
             # (1b) self-hook: f(u) = min(f(u), mngf(u)) (cc.hpp:90-91)
-            hooked = j.select(
-                "id", F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val"))).alias("val")
-            )
             # (1c) scatter-hook onto the PARENT: f[f(u)] = min(f[f(u)],
             # mngf(u)) (cc.hpp:83-84 assignScatter, min-resolved). This
             # is the step that keeps merges O(log): once a component has
@@ -118,19 +116,21 @@ def connected_components(
             # one member would otherwise crawl ONE HOP PER SUPERSTEP
             # through the min-diffusion (measured: two flattened
             # 400-chains merged mid-chain crawl 1 vertex/superstep and
-            # blow max_niter) — scattering the invader to the star's
-            # root lets the next jump convert the whole star at once.
+            # blow max_niter=200 silently) — scattering the invader to
+            # the star's root lets the next jump convert the whole star
+            # at once. Both hooks resolve in ONE union + min-agg (the
+            # map-side partial absorbs hub fan-in); ``j`` already pairs
+            # (old label, new min) per vertex, so the scatter write
+            # costs no extra join — one extra 2|V|-row shuffle total vs
+            # the self-hook-only loop.
             # Same-component safety: f(u) is in u's component, and
             # mngf(u) is a label FROM u's component, so the write never
             # leaks a label across components (warm starts included).
-            scatter = (
-                j.filter(F.col("nmin") < F.col("val"))
-                .groupBy(F.col("val").alias("id"))
-                .agg(F.min("nmin").alias("__new"))
-            )
             hooked = (
-                hooked.join(scatter, on="id", how="left")
-                .select("id", F.least(F.col("val"), F.coalesce(F.col("__new"), F.col("val"))).alias("val"))
+                j.select("id", hv.alias("val"))
+                .unionByName(j.select(F.col("val").alias("id"), hv.alias("val")))
+                .groupBy("id")
+                .agg(F.min("val").alias("val"))
             )
             # (2) shortcut/jump: f[u] = f[f[u]] (cc.hpp:98-99 extractGather)
             new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
@@ -205,11 +205,16 @@ def incremental_connected_components(
 
     Two-part warm start — both parts matter:
 
-    - old vertices INIT at their old component label (new vertices at
-      their own id): the min-diffusion fixpoint is then the
-      per-component min of the old labels = the new component-min
-      vertex id, because appends only MERGE components and every old
-      label is its old component's min id;
+    - old vertices INIT at min(own id, old component label) (new
+      vertices at their own id): the min-diffusion fixpoint is the
+      per-component min of the initial values, and with the least()
+      that min is exactly the component's min VERTEX ID in the current
+      numbering — cold parity holds even after a dense-id remap that
+      made the old representative no longer its component's min id
+      (ids shift in url sort order on append, sources/distill.py).
+      Appends only MERGE components, so every carried label is an id
+      from the same component and can never pull the min below the
+      component's true min;
     - the old labels are ALSO unioned in as virtual STAR EDGES
       (u — old_rep(u)): the rep is in u's component by construction,
       so the star changes no component — but it keeps the previous
@@ -231,10 +236,16 @@ def incremental_connected_components(
     The streaming analog of pagerank.incremental_pagerank, completing
     the incremental-analytics loop for the second north-rule algorithm.
     """
-    init = prev_labels.select("id", F.col("component").alias("val"))
+    init = prev_labels.select(
+        "id", F.least(F.col("id"), F.col("component")).alias("val")
+    )
+    # Star edges come from the RAW labels (u — old_rep), not the
+    # least()-ed init: after an id shift the old rep can sit ABOVE its
+    # members in the new numbering, but the u—rep connection is still a
+    # same-component edge and still the O(1)-depth hub topology.
     star = (
-        init.filter(F.col("id") != F.col("val"))
-        .select("id", "val")
+        prev_labels.filter(F.col("id") != F.col("component"))
+        .select("id", "component")
         .toDF("src", "dst")
         .withColumn("val", F.lit(1.0))
     )

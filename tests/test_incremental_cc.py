@@ -112,6 +112,23 @@ def test_incremental_cc_stale_label_sanitized(spark):
     g.unpersist()
 
 
+def test_incremental_cc_id_shift_rep_no_longer_min(spark):
+    """After a dense-id remap the old representative can sit ABOVE its
+    members in the new numbering. The warm init must still land on the
+    cold fixpoint — init = least(own id, carried label) pins the
+    fixpoint to the component's min id in the CURRENT numbering, not
+    the carried rep."""
+    g = _graph(spark, _chain_edges(0, 4), 5)
+    # carried labels say the old rep was vertex 4 (as if it had the
+    # smallest id before the shift)
+    prev = spark.createDataFrame(
+        [(i, 4) for i in range(5)], "id long, component long"
+    )
+    got = {r.id: r.component for r in incremental_connected_components(g, prev).collect()}
+    assert got == {i: 0 for i in range(5)}
+    g.unpersist()
+
+
 def test_remap_labels_both_columns(spark):
     """Both the vertex id AND the label value are vertex ids; both must
     travel through the url key when dense ids shift."""

@@ -366,3 +366,61 @@ def test_incremental_pagerank_after_streamed_append(spark, tmp):
     # ...and converts that into strictly fewer supersteps at equal eps
     assert len(warm_errs) + 3 <= len(cold_errs), (len(warm_errs), len(cold_errs))
     g1.unpersist(); g2.unpersist(); map1.unpersist(); map2.unpersist()
+
+
+def test_incremental_cc_after_streamed_append(spark, tmp):
+    """CC leg of the incremental-analytics loop: stream a page corpus →
+    edge log → Graph → converge FastSV CC; a re-crawl batch appends to
+    the same log (append-only: the edge set only GROWS — exactly the
+    warm start's soundness condition), labels carry through the stable
+    url key, and the warm-started run must land on the cold fixpoint
+    EXACTLY (labels are discrete — no tolerance band) in no more
+    supersteps."""
+    import json
+
+    from graphblast_spark.algorithms import (
+        connected_components,
+        incremental_connected_components,
+        remap_labels,
+    )
+    from graphblast_spark.runtime.superstep import SuperstepRunner
+    from graphblast_spark.streaming.ingest import edge_log_graph
+
+    page_idx = F.substring("url", -6, 6).cast("int")
+    pages_dir = os.path.join(tmp, "cc_pages_in")
+    log_dir = os.path.join(tmp, "cc_edges_log")
+    ck = os.path.join(tmp, "cc_ck")
+
+    generate_pages(spark, 300, seed=3).write.mode("append").parquet(pages_dir)
+    streaming_distill(stream_pages(spark, pages_dir), log_dir, ck).awaitTermination(180)
+    g1, map1 = edge_log_graph(spark, log_dir)
+    labels1 = connected_components(g1).localCheckpoint(eager=True)
+
+    # re-crawl: pages 0-2 return with different outlinks (appended to
+    # the log → edge union, components can only merge)
+    generate_pages(spark, 300, seed=99).filter(page_idx < 3).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    streaming_distill(stream_pages(spark, pages_dir), log_dir, ck).awaitTermination(180)
+    g2, map2 = edge_log_graph(spark, log_dir)
+    assert g2.nvals > g1.nvals
+
+    def _steps(run_dir):
+        with open(os.path.join(run_dir, "metrics.jsonl")) as fh:
+            return sum(1 for _ in fh)
+
+    prev = remap_labels(
+        labels1.select("id", F.col("component").alias("val")), map1, map2
+    ).select("id", F.col("val").alias("component"))
+
+    warm_dir = os.path.join(tmp, "cc_warm")
+    cold_dir = os.path.join(tmp, "cc_cold")
+    warm = incremental_connected_components(
+        g2, prev, runner=SuperstepRunner(spark, run_dir=warm_dir)
+    )
+    cold = connected_components(g2, runner=SuperstepRunner(spark, run_dir=cold_dir))
+    w = {r.id: r.component for r in warm.collect()}
+    c = {r.id: r.component for r in cold.collect()}
+    assert w == c
+    assert _steps(warm_dir) <= _steps(cold_dir), (_steps(warm_dir), _steps(cold_dir))
+    g1.unpersist(); g2.unpersist(); map1.unpersist(); map2.unpersist()
