@@ -112,6 +112,10 @@ def main(argv=None) -> int:
     p.add_argument("--store-path", help="external path for --save-graph tables")
     p.add_argument("--init-ranks", help="pr warm start: (id,val) parquet "
                    "from a previous run's --output")
+    p.add_argument("--init-labels", help="cc warm start after an edge/"
+                   "vertex APPEND: (id,component) parquet from a previous "
+                   "run's --output (additions only merge components; "
+                   "deletions require a cold run)")
     p.add_argument("--run-dir", help="checkpoint/metrics dir (resumable)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--master", default=None)
@@ -280,7 +284,13 @@ def main(argv=None) -> int:
                          runner=runner, fixed_iters=args.niter,
                          init_ranks=warm)
     elif args.algorithm == "cc":
-        out = A.connected_components(g, desc=desc, runner=runner)
+        if args.init_labels:
+            prev = spark.read.parquet(args.init_labels)
+            out = A.incremental_connected_components(
+                g, prev, desc=desc, runner=runner
+            )
+        else:
+            out = A.connected_components(g, desc=desc, runner=runner)
     elif args.algorithm == "lp":
         out = A.label_propagation_majority(g, iters=args.niter or 10)
     elif args.algorithm == "tc":

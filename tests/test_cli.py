@@ -174,3 +174,22 @@ def test_cli_harmonic(spark, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows_out"] > 0
+
+
+def test_cli_cc_warm_start_labels(spark, capsys, tmp_path):
+    """cc --init-labels: a warm re-run seeded from the previous run's
+    output lands on the identical label table in ≲2 supersteps (a
+    no-change 'append': the star edges + warm init converge at once)."""
+    out1, out2, md = (str(tmp_path / d) for d in ("cc1", "cc2", "runm"))
+    rc = main(["cc", "--fixture", "test_cc", "--output", out1])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["cc", "--fixture", "test_cc", "--output", out2,
+               "--init-labels", out1, "--run-dir", md])
+    assert rc == 0
+    capsys.readouterr()
+    a = {r.id: r.component for r in spark.read.parquet(out1).collect()}
+    b = {r.id: r.component for r in spark.read.parquet(out2).collect()}
+    assert a == b
+    n_iters = sum(1 for _ in open(os.path.join(md, "metrics.jsonl")))
+    assert n_iters <= 2, n_iters
