@@ -737,6 +737,42 @@ def q_g_kcore(spark, sf_dir):
     )
 
 
+def q_g_coreness(spark, sf_dir):
+    """Full core decomposition (per-vertex coreness) via the h-index
+    iteration (algorithms/kcore.py core_decomposition), pinned at a
+    FIXED 3 rounds — deterministic and unrolled-SQL-replayable (the
+    lp_majority posture); convergence-to-exact-coreness is pytest-
+    pinned against a python peel oracle (tests/test_coreness.py)."""
+    from graphblast_spark.algorithms import core_decomposition
+
+    g = copurchase_graph(spark, sf_dir)
+    return core_decomposition(g, fixed_rounds=3).select("id", "coreness")
+
+
+def q_g_salsa(spark, sf_dir):
+    """SALSA degree-normalized hubs/authorities (Lempel-Moran 2000,
+    algorithms/salsa.py) on the directed order-sequence graph — the
+    fixture with real cycle/hub structure; 3 dual half-steps with L1
+    normalization, unrolled-SQL oracle (the g_hits posture)."""
+    from graphblast_spark.algorithms import salsa
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return salsa(g, fixed_iters=3).select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def q_g_transitivity(spark, sf_dir):
+    """Global clustering coefficient 3·T/W (algorithms/stats.py
+    global_transitivity) — the scalar companion of g_lcc."""
+    from graphblast_spark.algorithms import global_transitivity
+
+    g = copurchase_graph(spark, sf_dir)
+    return global_transitivity(g)
+
+
 def q_g_closeness(spark, sf_dir):
     from graphblast_spark.algorithms import closeness_centrality
 
@@ -1212,7 +1248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_diameter": q_g_diameter,
         "g_closeness": q_g_closeness,
         "g_kcore": q_g_kcore,
+        "g_coreness": q_g_coreness,
+        "g_transitivity": q_g_transitivity,
         "g_hits": q_g_hits,
+        "g_salsa": q_g_salsa,
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
@@ -1693,6 +1732,72 @@ def _sql_hits(iters: int = 3) -> str:
         f"WITH {_PS_EDGES}, {_PS_VERTICES},\n" + ",\n".join(parts) +
         f"\nSELECT h.id, round(h.v, 6) AS hub, round(a.v, 6) AS authority"
         f"\nFROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
+def _sql_salsa(iters: int = 3) -> str:
+    """SALSA dual power iteration unrolled (algorithms/salsa.py): like
+    _sql_hits but each contribution is degree-normalized — multiplied
+    by (1.0 / deg) rather than divided, matching the Spark side's
+    precomputed edge weight bit-for-bit (x/d and x*(1/d) differ in the
+    last ulp); runs on the directed order-sequence graph."""
+    parts = [
+        "ov AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe))",
+        "odeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM oe GROUP BY src)",
+        "ideg AS MATERIALIZED (SELECT dst AS id, count(*) AS d FROM oe GROUP BY dst)",
+        "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / "
+        "(SELECT count(*) FROM ov) AS v FROM ov)",
+    ]
+    for k in range(iters):
+        parts += [
+            f"ra{k} AS MATERIALIZED (SELECT v.id, coalesce(s.c, CAST(0.0 AS DOUBLE)) AS c "
+            f"FROM ov v LEFT JOIN (SELECT e.dst AS id, "
+            f"sum(h.v * (CAST(1.0 AS DOUBLE) / od.d)) AS c "
+            f"FROM oe e JOIN h{k} h ON e.src = h.id "
+            f"JOIN odeg od ON e.src = od.id GROUP BY e.dst) s ON v.id = s.id)",
+            f"a{k + 1} AS MATERIALIZED (SELECT id, c / (SELECT sum(c) FROM ra{k}) AS v FROM ra{k})",
+            f"rh{k} AS MATERIALIZED (SELECT v.id, coalesce(s.c, CAST(0.0 AS DOUBLE)) AS c "
+            f"FROM ov v LEFT JOIN (SELECT e.src AS id, "
+            f"sum(a.v * (CAST(1.0 AS DOUBLE) / idg.d)) AS c "
+            f"FROM oe e JOIN a{k + 1} a ON e.dst = a.id "
+            f"JOIN ideg idg ON e.dst = idg.id GROUP BY e.src) s ON v.id = s.id)",
+            f"h{k + 1} AS MATERIALIZED (SELECT id, c / (SELECT sum(c) FROM rh{k}) AS v FROM rh{k})",
+        ]
+    return (
+        f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
+        f"\nSELECT h.id AS id, round(h.v, 6) AS hub, round(a.v, 6) AS authority"
+        f"\nFROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
+def _sql_coreness(rounds: int = 3) -> str:
+    """h-index core-decomposition iteration unrolled to a fixed round
+    count (algorithms/kcore.py core_decomposition) — per round: capped
+    neighbor values, per-(id,val) counts, descending cumulative sum,
+    h = max(least(val, cum)). No ties inside the window (val is the
+    group key), so the default RANGE frame replays Spark exactly."""
+    parts = [
+        "adj AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v FROM edges "
+        "WHERE src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)",
+        "c0 AS MATERIALIZED (SELECT vv.id, CAST(coalesce(dd.d, 0) AS BIGINT) AS c "
+        "FROM vertices vv LEFT JOIN "
+        "(SELECT u AS id, count(*) AS d FROM adj GROUP BY u) dd ON vv.id = dd.id)",
+    ]
+    for k in range(rounds):
+        parts += [
+            f"cnt{k} AS MATERIALIZED (SELECT adj.u AS id, least(cs.c, cd.c) AS val, "
+            f"count(*) AS n FROM adj JOIN c{k} cd ON adj.v = cd.id "
+            f"JOIN c{k} cs ON adj.u = cs.id GROUP BY adj.u, least(cs.c, cd.c))",
+            f"h{k} AS MATERIALIZED (SELECT id, max(least(val, cum)) AS h FROM "
+            f"(SELECT id, val, sum(n) OVER (PARTITION BY id ORDER BY val DESC) AS cum "
+            f"FROM cnt{k}) GROUP BY id)",
+            f"c{k + 1} AS MATERIALIZED (SELECT c.id, CAST(coalesce(h.h, 0) AS BIGINT) AS c "
+            f"FROM c{k} c LEFT JOIN h{k} h ON c.id = h.id)",
+        ]
+    return (
+        f"WITH {_EDGES_MAT}, {_VERTICES_MAT},\n" + ",\n".join(parts) +
+        f"\nSELECT id, c AS coreness FROM c{rounds}"
     )
 
 
@@ -2269,6 +2374,22 @@ def oracle_sql() -> dict[str, str]:
         "g_coloring_jp": _sql_coloring_jp(3),
         "g_coloring_spec": _sql_coloring_spec(2, 8),
         "g_hits": _sql_hits(3),
+        "g_salsa": _sql_salsa(3),
+        "g_coreness": _sql_coreness(3),
+        "g_transitivity": f"""
+            WITH {_EDGES},
+            low AS (SELECT src, dst FROM edges WHERE src < dst),
+            tri AS (SELECT count(*) AS t
+                    FROM low e1 JOIN low e2 ON e1.dst = e2.src
+                         JOIN low e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            deg AS (SELECT id, count(*) AS d FROM
+                    (SELECT src AS id FROM low UNION ALL SELECT dst FROM low)
+                    GROUP BY id),
+            w AS (SELECT CAST(coalesce(sum(d * (d - 1)), 0) / 2 AS BIGINT) AS w FROM deg)
+            SELECT tri.t AS n_triangles, w.w AS n_wedges,
+                   CASE WHEN w.w > 0 THEN round(3.0 * tri.t / w.w, 6)
+                        ELSE CAST(0.0 AS DOUBLE) END AS transitivity
+            FROM tri, w""",
         "g_betweenness": _sql_betweenness(depth=2, n_roots=4),
         "g_ppr": f"""
             WITH RECURSIVE {_EDGES}, {_VERTICES},

@@ -14,6 +14,7 @@ from graphblast_spark.algorithms.cc import (
 from graphblast_spark.algorithms.stats import (
     degree_assortativity,
     degree_histogram,
+    global_transitivity,
     local_clustering_coefficient,
     reciprocity,
 )
@@ -34,7 +35,8 @@ from graphblast_spark.algorithms.gc import (
     graph_coloring_spec,
 )
 from graphblast_spark.algorithms.hits import hits
-from graphblast_spark.algorithms.kcore import k_core
+from graphblast_spark.algorithms.salsa import salsa
+from graphblast_spark.algorithms.kcore import core_decomposition, k_core
 from graphblast_spark.algorithms.ktruss import edge_triangle_support, k_truss
 from graphblast_spark.algorithms.linkpred import link_prediction_scores
 from graphblast_spark.algorithms.lgc import lgc
@@ -73,6 +75,7 @@ __all__ = [
     "degree_assortativity",
     "degree_histogram",
     "local_clustering_coefficient",
+    "global_transitivity",
     "reciprocity",
     "label_propagation_majority",
     "label_propagation_min",
@@ -86,6 +89,8 @@ __all__ = [
     "graph_coloring_mis",
     "graph_coloring_spec",
     "hits",
+    "salsa",
+    "core_decomposition",
     "k_core",
     "k_truss",
     "edge_triangle_support",

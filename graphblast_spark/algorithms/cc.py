@@ -48,6 +48,7 @@ def connected_components(
     runner: SuperstepRunner | None = None,
     pointer_jump: bool = True,
     init_labels: DataFrame | None = None,
+    scatter_hook: bool = True,
 ) -> DataFrame:
     """Returns (id long, component long) with component = min id of the
     connected component (treating edges as undirected).
@@ -126,12 +127,31 @@ def connected_components(
             # Same-component safety: f(u) is in u's component, and
             # mngf(u) is a label FROM u's component, so the write never
             # leaks a label across components (warm starts included).
-            hooked = (
-                j.select("id", hv.alias("val"))
-                .unionByName(j.select(F.col("val").alias("id"), hv.alias("val")))
-                .groupBy("id")
-                .agg(F.min("val").alias("val"))
-            )
+            if scatter_hook:
+                # Both write streams emitted in ONE pass over ``j`` via
+                # an inline explode — a two-branch union would evaluate
+                # the |E|-row hook join TWICE per superstep (Catalyst
+                # recomputes each union branch; measured 9.9 s vs 6.9 s
+                # on the sf0.1 cc slot before this fold)
+                hooked = (
+                    j.select(
+                        F.explode(
+                            F.array(
+                                F.struct(F.col("id").alias("id"), hv.alias("val")),
+                                F.struct(F.col("val").alias("id"), hv.alias("val")),
+                            )
+                        ).alias("s")
+                    )
+                    .select("s.id", "s.val")
+                    .groupBy("id")
+                    .agg(F.min("val").alias("val"))
+                )
+            else:
+                # hash-min + jump only (pre-FastSV shape): one fewer
+                # agg per superstep, but O(diameter) on flattened-star
+                # merges — the convergence guard below turns that into
+                # an error, never a silent wrong answer
+                hooked = j.select("id", hv.alias("val"))
             # (2) shortcut/jump: f[u] = f[f[u]] (cc.hpp:98-99 extractGather)
             new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
             new_parent = new_parent.transform(truncate_plan)

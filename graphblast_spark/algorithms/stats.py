@@ -110,6 +110,47 @@ def degree_assortativity(g: Graph) -> DataFrame:
     )
 
 
+def global_transitivity(g: Graph) -> DataFrame:
+    """1-row (n_triangles long, n_wedges long, transitivity double):
+    the global clustering coefficient 3·T / W of the undirected view,
+    where W = Σ_v d(v)·(d(v)−1)/2 is the open+closed wedge count
+    (Newman's transitivity; the scalar companion of the per-vertex
+    ``local_clustering_coefficient``). One triangle count (tc.py's
+    degree-oriented intersection) + one two-level degree aggregate —
+    no new join shapes; 0.0 on a wedge-free graph."""
+    from graphblast_spark.algorithms.tc import triangle_count
+
+    tri = triangle_count(g, orient="degree")
+    und = _und(g)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Σ d(d−1) summed exactly as decimal(38,0) (a 10^8-degree hub's
+    # d² overflows float64's 2^53 integer range), halved driver-side
+    wedges = int(
+        deg.agg(
+            F.sum((F.col("d") * (F.col("d") - 1)).cast("decimal(38,0)")).alias("w")
+        ).first()[0]
+        or 0
+    ) // 2
+    return (
+        g.edges.sparkSession.createDataFrame(
+            [(tri, wedges)], "n_triangles long, n_wedges long"
+        ).select(
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
+
+
 def local_clustering_coefficient(g: Graph) -> DataFrame:
     """(id long, triangles long, lcc double) dense over all vertices:
     lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) on the undirected view, 0.0 for
