@@ -244,6 +244,15 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
     nvals = None
     n_vertices = 1 << scale
     for cores in (n, n4):
+        # Drain-wait: the previous phase's JVM shutdown keeps the 1-min
+        # load average elevated for minutes, which both contaminates the
+        # measurement and trips the load_before gate (two r4 runs lost
+        # their local[16] phase exactly this way — BENCH.md 2026-08-18).
+        # Wait for the box to actually go quiet before starting, bounded
+        # so a genuinely busy machine still produces a (gated) result.
+        deadline = time.time() + 300
+        while os.getloadavg()[0] > 1.5 and time.time() < deadline:
+            time.sleep(10)
         load_before = round(os.getloadavg()[0], 2)
         spark = _mk_spark(f"local[{cores}]", parts)
         vertices = spark.range(0, n_vertices).select("id")
