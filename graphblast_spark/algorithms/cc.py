@@ -42,6 +42,59 @@ from graphblast_spark.operators.assign import extract_gather
 from graphblast_spark.runtime.superstep import SuperstepRunner, stable_partitions, truncate_plan
 
 
+def _hook_step(e_sym: DataFrame, parent: DataFrame, scatter_hook: bool) -> DataFrame:
+    """One FastSV hook superstep over the persisted symmetric edges.
+
+    (1a) min neighbor parent (cc.hpp:78 MinimumSelectSecond vxm);
+    shuffle-hash: probe persisted edges, build from parent.
+    (1b) self-hook: f(u) = min(f(u), mngf(u)) (cc.hpp:90-91).
+    (1c) scatter-hook onto the PARENT: f[f(u)] = min(f[f(u)], mngf(u))
+    (cc.hpp:83-84 assignScatter, min-resolved). The scatter is the step
+    that keeps merges O(log): once a component has flattened into a
+    depth-1 star, a lower label invading at one member would otherwise
+    crawl ONE HOP PER SUPERSTEP through the min-diffusion (measured:
+    two flattened 400-chains merged mid-chain crawl 1 vertex/superstep
+    and blow max_niter=200 silently) — scattering the invader to the
+    star's root lets the next jump convert the whole star at once.
+    Same-component safety: f(u) is in u's component, and mngf(u) is a
+    label FROM u's component, so the write never leaks a label across
+    components (warm starts included).
+
+    Both hook write streams are emitted in ONE pass over the joined
+    table via an inline explode — a two-branch union would make
+    Catalyst evaluate the |E|-row hook join TWICE per superstep
+    (measured 9.9 s vs 6.9 s on the sf0.1 cc slot; plan-pinned in
+    tests/test_plans.py test_cc_hook_step_single_edge_scan).
+    ``scatter_hook=False`` is the pre-FastSV hash-min shape: one fewer
+    agg per superstep, but O(diameter) on flattened-star merges — the
+    caller's convergence guard turns that into an error, never a
+    silent wrong answer.
+    """
+    p = parent.hint("shuffle_hash")
+    nbr_min = (
+        e_sym.join(p, on=e_sym["dst"] == p["id"], how="inner")
+        .groupBy(e_sym["src"].alias("id"))
+        .agg(F.min(p["val"]).alias("nmin"))
+    )
+    j = parent.join(nbr_min, on="id", how="left")
+    hv = F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val")))
+    if not scatter_hook:
+        return j.select("id", hv.alias("val"))
+    return (
+        j.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id").alias("id"), hv.alias("val")),
+                    F.struct(F.col("val").alias("id"), hv.alias("val")),
+                )
+            ).alias("s")
+        )
+        .select("s.id", "s.val")
+        .groupBy("id")
+        .agg(F.min("val").alias("val"))
+    )
+
+
 def connected_components(
     g: Graph,
     desc: Descriptor = DEFAULT_DESC,
@@ -99,59 +152,7 @@ def connected_components(
     with stable_partitions(spark):
         for it in range(start_iter, desc.max_niter):
             t0 = time.time()
-            # (1a) min neighbor parent (cc.hpp:78 MinimumSelectSecond
-            # vxm); shuffle-hash: probe persisted edges, build from parent
-            p = parent.hint("shuffle_hash")
-            nbr_min = (
-                e_sym.join(p, on=e_sym["dst"] == p["id"], how="inner")
-                .groupBy(e_sym["src"].alias("id"))
-                .agg(F.min(p["val"]).alias("nmin"))
-            )
-            j = parent.join(nbr_min, on="id", how="left")
-            hv = F.least(F.col("val"), F.coalesce(F.col("nmin"), F.col("val")))
-            # (1b) self-hook: f(u) = min(f(u), mngf(u)) (cc.hpp:90-91)
-            # (1c) scatter-hook onto the PARENT: f[f(u)] = min(f[f(u)],
-            # mngf(u)) (cc.hpp:83-84 assignScatter, min-resolved). This
-            # is the step that keeps merges O(log): once a component has
-            # flattened into a depth-1 star, a lower label invading at
-            # one member would otherwise crawl ONE HOP PER SUPERSTEP
-            # through the min-diffusion (measured: two flattened
-            # 400-chains merged mid-chain crawl 1 vertex/superstep and
-            # blow max_niter=200 silently) — scattering the invader to
-            # the star's root lets the next jump convert the whole star
-            # at once. Both hooks resolve in ONE union + min-agg (the
-            # map-side partial absorbs hub fan-in); ``j`` already pairs
-            # (old label, new min) per vertex, so the scatter write
-            # costs no extra join — one extra 2|V|-row shuffle total vs
-            # the self-hook-only loop.
-            # Same-component safety: f(u) is in u's component, and
-            # mngf(u) is a label FROM u's component, so the write never
-            # leaks a label across components (warm starts included).
-            if scatter_hook:
-                # Both write streams emitted in ONE pass over ``j`` via
-                # an inline explode — a two-branch union would evaluate
-                # the |E|-row hook join TWICE per superstep (Catalyst
-                # recomputes each union branch; measured 9.9 s vs 6.9 s
-                # on the sf0.1 cc slot before this fold)
-                hooked = (
-                    j.select(
-                        F.explode(
-                            F.array(
-                                F.struct(F.col("id").alias("id"), hv.alias("val")),
-                                F.struct(F.col("val").alias("id"), hv.alias("val")),
-                            )
-                        ).alias("s")
-                    )
-                    .select("s.id", "s.val")
-                    .groupBy("id")
-                    .agg(F.min("val").alias("val"))
-                )
-            else:
-                # hash-min + jump only (pre-FastSV shape): one fewer
-                # agg per superstep, but O(diameter) on flattened-star
-                # merges — the convergence guard below turns that into
-                # an error, never a silent wrong answer
-                hooked = j.select("id", hv.alias("val"))
+            hooked = _hook_step(e_sym, parent, scatter_hook)
             # (2) shortcut/jump: f[u] = f[f[u]] (cc.hpp:98-99 extractGather)
             new_parent = extract_gather(hooked, hooked) if pointer_jump else hooked
             new_parent = new_parent.transform(truncate_plan)
