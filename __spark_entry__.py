@@ -764,6 +764,18 @@ def q_g_salsa(spark, sf_dir):
     )
 
 
+def q_g_trussness(spark, sf_dir):
+    """Full truss decomposition (per-edge trussness) via the edge
+    h-index iteration (algorithms/ktruss.py truss_decomposition),
+    pinned at a FIXED 2 rounds — deterministic and unrolled-SQL-
+    replayable; convergence-to-exact-trussness is pytest-pinned
+    against a python peel oracle (tests/test_ktruss.py)."""
+    from graphblast_spark.algorithms import truss_decomposition
+
+    g = copurchase_graph(spark, sf_dir)
+    return truss_decomposition(g, fixed_rounds=2).select("a", "b", "trussness")
+
+
 def q_g_transitivity(spark, sf_dir):
     """Global clustering coefficient 3·T/W (algorithms/stats.py
     global_transitivity) — the scalar companion of g_lcc."""
@@ -1249,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_closeness": q_g_closeness,
         "g_kcore": q_g_kcore,
         "g_coreness": q_g_coreness,
+        "g_trussness": q_g_trussness,
         "g_transitivity": q_g_transitivity,
         "g_hits": q_g_hits,
         "g_salsa": q_g_salsa,
@@ -1798,6 +1811,46 @@ def _sql_coreness(rounds: int = 3) -> str:
     return (
         f"WITH {_EDGES_MAT}, {_VERTICES_MAT},\n" + ",\n".join(parts) +
         f"\nSELECT id, c AS coreness FROM c{rounds}"
+    )
+
+
+def _sql_trussness(rounds: int = 2) -> str:
+    """Edge h-index truss-decomposition iteration unrolled
+    (algorithms/ktruss.py truss_decomposition): triangle-edge incidence
+    built once (3 rows per triangle via common-neighbor join), then per
+    round capped partner-min values, per-edge counts, descending
+    cumulative sum, h = max(least(val, cum)); trussness = t + 2."""
+    parts = [
+        "low AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges WHERE src < dst)",
+        "nb AS MATERIALIZED (SELECT a AS id, b AS n FROM low "
+        "UNION ALL SELECT b, a FROM low)",
+        "tri AS MATERIALIZED (SELECT e.a AS ea, e.b AS eb, "
+        "least(e.a, n1.n) AS xa, greatest(e.a, n1.n) AS xb, "
+        "least(e.b, n1.n) AS ya, greatest(e.b, n1.n) AS yb "
+        "FROM low e JOIN nb n1 ON n1.id = e.a "
+        "JOIN nb n2 ON n2.id = e.b AND n2.n = n1.n)",
+        "t0 AS MATERIALIZED (SELECT l.a, l.b, CAST(coalesce(s.c, 0) AS BIGINT) AS t "
+        "FROM low l LEFT JOIN (SELECT ea, eb, count(*) AS c FROM tri "
+        "GROUP BY ea, eb) s ON l.a = s.ea AND l.b = s.eb)",
+    ]
+    for k in range(rounds):
+        parts += [
+            f"cnt{k} AS MATERIALIZED (SELECT tri.ea, tri.eb, "
+            f"least(te.t, least(t1.t, t2.t)) AS val, count(*) AS n "
+            f"FROM tri JOIN t{k} t1 ON tri.xa = t1.a AND tri.xb = t1.b "
+            f"JOIN t{k} t2 ON tri.ya = t2.a AND tri.yb = t2.b "
+            f"JOIN t{k} te ON tri.ea = te.a AND tri.eb = te.b "
+            f"GROUP BY tri.ea, tri.eb, least(te.t, least(t1.t, t2.t)))",
+            f"h{k} AS MATERIALIZED (SELECT ea, eb, max(least(val, cum)) AS h FROM "
+            f"(SELECT ea, eb, val, sum(n) OVER (PARTITION BY ea, eb "
+            f"ORDER BY val DESC) AS cum FROM cnt{k}) GROUP BY ea, eb)",
+            f"t{k + 1} AS MATERIALIZED (SELECT l.a, l.b, "
+            f"CAST(coalesce(h.h, 0) AS BIGINT) AS t FROM t{k} l "
+            f"LEFT JOIN h{k} h ON l.a = h.ea AND l.b = h.eb)",
+        ]
+    return (
+        f"WITH {_EDGES_MAT},\n" + ",\n".join(parts) +
+        f"\nSELECT a, b, CAST(t + 2 AS BIGINT) AS trussness FROM t{rounds}"
     )
 
 
@@ -2376,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _sql_hits(3),
         "g_salsa": _sql_salsa(3),
         "g_coreness": _sql_coreness(3),
+        "g_trussness": _sql_trussness(2),
         "g_transitivity": f"""
             WITH {_EDGES},
             low AS (SELECT src, dst FROM edges WHERE src < dst),

@@ -37,7 +37,7 @@ from graphblast_spark.algorithms.gc import (
 from graphblast_spark.algorithms.hits import hits
 from graphblast_spark.algorithms.salsa import salsa
 from graphblast_spark.algorithms.kcore import core_decomposition, k_core
-from graphblast_spark.algorithms.ktruss import edge_triangle_support, k_truss
+from graphblast_spark.algorithms.ktruss import edge_triangle_support, k_truss, truss_decomposition
 from graphblast_spark.algorithms.linkpred import link_prediction_scores
 from graphblast_spark.algorithms.lgc import lgc
 from graphblast_spark.algorithms.diameter import closeness_centrality, diameter, multi_source_bfs
@@ -93,6 +93,7 @@ __all__ = [
     "core_decomposition",
     "k_core",
     "k_truss",
+    "truss_decomposition",
     "edge_triangle_support",
     "link_prediction_scores",
     "lgc",

@@ -117,3 +117,135 @@ def k_truss(
         )
     # empty truss: preserve the output schema
     return und.limit(0).withColumn("support", F.lit(0))
+
+
+def truss_decomposition(
+    g: Graph,
+    runner: SuperstepRunner | None = None,
+    fixed_rounds: int | None = None,
+    max_rounds: int = 1000,
+) -> DataFrame:
+    """Per-edge trussness (the max k with the edge in the k-truss) of
+    the undirected view — the edge companion of kcore.py's
+    core_decomposition, via the same distributed h-index iteration
+    (Sariyüce-Seshadhri-Pinar WWW'17 local nucleus decomposition):
+    start at t(e) = support(e) and repeat
+    t'(e) = H({min(t(e), t(e1), t(e2)) : {e,e1,e2} a triangle on e})
+    until the fixpoint, which is exactly trussness(e) − 2. t is
+    non-increasing and always ≥ trussness−2, so the decimal-sum
+    witness (scc.py's pattern) is an exact convergence test; the
+    min(·, t(e)) cap never changes H but bounds the per-edge
+    distinct-value spread (core_decomposition's argument).
+
+    The triangle-edge incidence is materialized ONCE (3 rows per
+    triangle: each edge's view of the triangle names its two partner
+    edges), built from tc.py's degree-bounded sorted-adjacency
+    intersection — after that every round is three two-column hash
+    joins of the incidence against the t table, one map-side-combining
+    (edge, val) count, and one bounded per-edge window cum-sum; round
+    count is the peel depth's logarithm-ish, NOT k_max × depth like a
+    level-by-level peel, which is what makes the decomposition
+    feasible where running k_truss per k is not.
+
+    Returns (a long, b long, trussness long) per canonical (a < b)
+    undirected edge; triangle-free edges hold trussness 2 (every edge
+    is trivially in the 2-truss). With ``fixed_rounds`` the
+    deterministic partially-converged state is returned (unrolled-SQL
+    oracle contract). Consistency with :func:`k_truss`:
+    edge ∈ k_truss(k) ⟺ trussness ≥ k (pytest-pinned).
+    """
+    from pyspark.sql import Window
+
+    from graphblast_spark.algorithms.scc import _sum_witness
+
+    spark = g.edges.sparkSession
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().persist()
+
+    # Triangle-edge incidence: for edge (a,b) and each common neighbor
+    # w, the two partner edges of triangle {a,b,w} in canonical form.
+    nbrs = und.select(F.col("a").alias("id"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("n"))
+    )
+    adj = nbrs.groupBy("id").agg(F.sort_array(F.collect_list("n")).alias("nbrs"))
+    aa = adj.select(F.col("id").alias("a"), F.col("nbrs").alias("na"))
+    ab = adj.select(F.col("id").alias("b"), F.col("nbrs").alias("nb"))
+    tri = (
+        und.join(aa, "a").join(ab, "b")
+        .select("a", "b", F.explode(F.array_intersect("na", "nb")).alias("w"))
+        .select(
+            F.col("a").alias("ea"), F.col("b").alias("eb"),
+            F.least("a", "w").alias("xa"), F.greatest("a", "w").alias("xb"),
+            F.least("b", "w").alias("ya"), F.greatest("b", "w").alias("yb"),
+        )
+        .persist()
+    )
+    tri.count()
+
+    def init():
+        sup = tri.groupBy(
+            F.col("ea").alias("a"), F.col("eb").alias("b")
+        ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+        return {
+            "t": und.join(sup, ["a", "b"], "left").select(
+                "a", "b", F.coalesce("t", F.lit(0).cast("long")).alias("t")
+            )
+        }
+
+    state, start_iter, scalars = runner.resume_or_init(init)
+    t = state["t"]
+    prev = int(scalars["w"]) if "w" in scalars else _sum_witness(t, "t")
+
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    w = Window.partitionBy("ea", "eb").orderBy(F.col("val").desc())
+    with stable_partitions(spark):
+        for it in range(start_iter, rounds):
+            t0 = time.time()
+            te = t.select(F.col("a").alias("ea"), F.col("b").alias("eb"),
+                          F.col("t").alias("tself"))
+            tx = t.select(F.col("a").alias("xa"), F.col("b").alias("xb"),
+                          F.col("t").alias("t1"))
+            ty = t.select(F.col("a").alias("ya"), F.col("b").alias("yb"),
+                          F.col("t").alias("t2"))
+            cnt = (
+                tri.join(tx, ["xa", "xb"]).join(ty, ["ya", "yb"]).join(te, ["ea", "eb"])
+                .groupBy("ea", "eb",
+                         F.least("tself", F.least("t1", "t2")).alias("val"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            h = (
+                cnt.withColumn("cum", F.sum("n").over(w))
+                .groupBy("ea", "eb")
+                .agg(F.max(F.least(F.col("val"), F.col("cum"))).alias("h"))
+                .select(F.col("ea").alias("a"), F.col("eb").alias("b"), "h")
+            )
+            new_t = und.join(h, ["a", "b"], "left").select(
+                "a", "b", F.coalesce("h", F.lit(0)).cast("long").alias("t")
+            ).transform(truncate_plan)
+            state = runner.truncate({"t": new_t})
+            new_t = state["t"]
+            cur = _sum_witness(new_t, "t")
+            t = new_t
+            runner.commit(
+                it, state, scalars={"w": cur},
+                metrics={"ms": (time.time() - t0) * 1000.0, "witness": cur},
+            )
+            if cur == prev and fixed_rounds is None:
+                break
+            prev = cur
+        else:
+            if fixed_rounds is None:
+                raise RuntimeError(
+                    f"truss_decomposition did not converge within "
+                    f"max_rounds={max_rounds} h-index rounds; raise "
+                    f"max_rounds"
+                )
+
+    tri.unpersist()
+    und.unpersist()
+    return t.select("a", "b", (F.col("t") + F.lit(2)).cast("long").alias("trussness"))

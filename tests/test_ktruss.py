@@ -91,3 +91,67 @@ def test_truss_nests_in_core_and_in_lower_truss(spark):
     verts4 = {v for e in t4 for v in e}
     core3 = {r.id for r in k_core(g, k=3).filter(F.col("in_core") == 1).collect()}
     assert verts4 <= core3
+
+
+def _python_trussness(edges):
+    """Per-edge trussness by increasing-k peel (textbook)."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    out = {}
+    k = 2
+    while es:
+        k += 1
+        survivors = _python_truss(es, k)
+        for e in es - survivors:
+            out[e] = k - 1
+        es = survivors
+    return out
+
+
+TRUSS_CASES = [
+    # triangle + pendant edge
+    [(0, 1), (1, 2), (0, 2), (2, 3)],
+    # K5 (trussness 5 everywhere) with a chain tail
+    list(itertools.combinations(range(5), 2)) + [(4, 5), (5, 6)],
+    # two triangles sharing an edge (all trussness 3) + a 4-clique
+    [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3),
+     (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)],
+]
+
+
+@pytest.mark.parametrize("edges", TRUSS_CASES)
+def test_trussness_matches_peel_oracle(spark, edges):
+    from graphblast_spark.algorithms import truss_decomposition
+
+    n = max(max(e) for e in edges) + 1
+    g = _graph(spark, edges, n)
+    got = {(r.a, r.b): r.trussness for r in truss_decomposition(g).collect()}
+    assert got == _python_trussness(edges)
+    g.unpersist()
+
+
+def test_trussness_ktruss_membership_relation(spark):
+    from graphblast_spark.algorithms import truss_decomposition
+
+    edges = TRUSS_CASES[2]
+    n = max(max(e) for e in edges) + 1
+    g = _graph(spark, edges, n)
+    tr = {(r.a, r.b): r.trussness for r in truss_decomposition(g).collect()}
+    for k in (3, 4):
+        members = {(r.a, r.b) for r in k_truss(g, k=k).collect()}
+        assert members == {e for e, t in tr.items() if t >= k}, k
+    g.unpersist()
+
+
+def test_trussness_fixed_rounds_upper_bound(spark):
+    from graphblast_spark.algorithms import truss_decomposition
+
+    edges = TRUSS_CASES[1]
+    n = max(max(e) for e in edges) + 1
+    g = _graph(spark, edges, n)
+    partial = {
+        (r.a, r.b): r.trussness
+        for r in truss_decomposition(g, fixed_rounds=1).collect()
+    }
+    exact = _python_trussness(edges)
+    assert all(partial[e] >= exact[e] for e in exact)
+    g.unpersist()
