@@ -764,6 +764,27 @@ def q_g_salsa(spark, sf_dir):
     )
 
 
+def q_g_salsa_seeded(spark, sf_dir):
+    """Query-dependent SALSA (Lempel-Moran §6): initial hub mass on
+    the 4 lowest-id vertices only — authority as seen from that seed
+    neighborhood; 3 half-steps, same unrolled-SQL oracle family."""
+    from graphblast_spark.algorithms import salsa
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    seeds = g.vertices.orderBy("id").limit(4).select("id")
+    # floor(x*1e6+0.5)/1e6, not F.round: the 1/4-mass seed init yields
+    # dyadic values landing EXACTLY on the .5 boundary at 6 digits,
+    # where Spark (HALF_UP) and DuckDB (half-even) disagree; floor over
+    # the identical IEEE expression is bit-deterministic in both.
+    def r6(c):
+        return F.floor(F.col(c) * 1e6 + 0.5 + 1e-6) / 1e6
+
+    return salsa(g, fixed_iters=3, seeds=seeds).select(
+        "id", r6("hub").alias("hub"), r6("authority").alias("authority"),
+    )
+
+
 def q_g_trussness(spark, sf_dir):
     """Full truss decomposition (per-edge trussness) via the edge
     h-index iteration (algorithms/ktruss.py truss_decomposition),
@@ -1265,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_transitivity": q_g_transitivity,
         "g_hits": q_g_hits,
         "g_salsa": q_g_salsa,
+        "g_salsa_seeded": q_g_salsa_seeded,
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
@@ -1748,19 +1770,33 @@ def _sql_hits(iters: int = 3) -> str:
     )
 
 
-def _sql_salsa(iters: int = 3) -> str:
+def _sql_salsa(iters: int = 3, seed_limit: int | None = None) -> str:
     """SALSA dual power iteration unrolled (algorithms/salsa.py): like
     _sql_hits but each contribution is degree-normalized — multiplied
     by (1.0 / deg) rather than divided, matching the Spark side's
     precomputed edge weight bit-for-bit (x/d and x*(1/d) differ in the
-    last ulp); runs on the directed order-sequence graph."""
+    last ulp); runs on the directed order-sequence graph. With
+    ``seed_limit`` the initial hub mass is 1/k on the k lowest-id
+    vertices (query-dependent SALSA, the q_g_salsa_seeded contract)."""
+    if seed_limit is None:
+        h0 = ("h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / "
+              "(SELECT count(*) FROM ov) AS v FROM ov)")
+        seed_cte = []
+    else:
+        seed_cte = [
+            f"sd AS MATERIALIZED (SELECT id FROM ov ORDER BY id LIMIT {seed_limit})",
+        ]
+        h0 = ("h0 AS MATERIALIZED (SELECT v.id, CASE WHEN s.id IS NOT NULL "
+              "THEN CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM sd) "
+              "ELSE CAST(0.0 AS DOUBLE) END AS v "
+              "FROM ov v LEFT JOIN sd s ON v.id = s.id)")
     parts = [
         "ov AS MATERIALIZED (SELECT DISTINCT id FROM "
         "(SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe))",
         "odeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM oe GROUP BY src)",
         "ideg AS MATERIALIZED (SELECT dst AS id, count(*) AS d FROM oe GROUP BY dst)",
-        "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / "
-        "(SELECT count(*) FROM ov) AS v FROM ov)",
+        *seed_cte,
+        h0,
     ]
     for k in range(iters):
         parts += [
@@ -1777,9 +1813,15 @@ def _sql_salsa(iters: int = 3) -> str:
             f"JOIN ideg idg ON e.dst = idg.id GROUP BY e.src) s ON v.id = s.id)",
             f"h{k + 1} AS MATERIALIZED (SELECT id, c / (SELECT sum(c) FROM rh{k}) AS v FROM rh{k})",
         ]
+    # Seeded variant rounds via floor(x*1e6+0.5)/1e6 — the dyadic seed
+    # masses land exactly on .5 at 6 digits where round() semantics
+    # (HALF_UP vs half-even) differ between Spark and DuckDB.
+    r6 = ("floor({0} * 1e6 + 0.5 + 1e-6) / 1e6" if seed_limit is not None
+          else "round({0}, 6)")
     return (
         f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
-        f"\nSELECT h.id AS id, round(h.v, 6) AS hub, round(a.v, 6) AS authority"
+        f"\nSELECT h.id AS id, {r6.format('h.v')} AS hub, "
+        f"{r6.format('a.v')} AS authority"
         f"\nFROM h{iters} h JOIN a{iters} a ON h.id = a.id"
     )
 
@@ -2428,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "g_coloring_spec": _sql_coloring_spec(2, 8),
         "g_hits": _sql_hits(3),
         "g_salsa": _sql_salsa(3),
+        "g_salsa_seeded": _sql_salsa(3, seed_limit=4),
         "g_coreness": _sql_coreness(3),
         "g_trussness": _sql_trussness(2),
         "g_transitivity": f"""

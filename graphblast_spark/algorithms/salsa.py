@@ -45,10 +45,19 @@ def salsa(
     g: Graph,
     fixed_iters: int = 5,
     runner: SuperstepRunner | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id long, hub double, authority double) after
     ``fixed_iters`` dual degree-normalized half-steps with L1
-    normalization."""
+    normalization.
+
+    ``seeds`` (an (id) frame) switches to query-dependent SALSA
+    (Lempel-Moran §6; the shape Twitter's Who-To-Follow personalizes):
+    the initial hub mass is 1/|seeds| on the seed set and 0 elsewhere,
+    so scores measure link-structure authority AS SEEN FROM the seeds'
+    neighborhood rather than globally — mass diffuses outward through
+    the stochastic half-steps exactly like the global variant, and the
+    L1 normalization keeps the fixed-iteration state deterministic."""
     spark = g.edges.sparkSession
     if runner is None:
         runner = SuperstepRunner(spark)
@@ -68,7 +77,16 @@ def salsa(
     zeros = g.vertices.select("id", F.lit(0.0).alias("z"))
 
     def init():
-        u0 = g.vertices.select("id", F.lit(1.0 / n).alias("val"))
+        if seeds is None:
+            u0 = g.vertices.select("id", F.lit(1.0 / n).alias("val"))
+        else:
+            sd = seeds.select("id").distinct()
+            k = sd.count()
+            if k == 0:
+                raise ValueError("salsa seeds must be non-empty when given")
+            u0 = g.vertices.join(
+                sd.withColumn("s", F.lit(1.0 / k)), "id", "left"
+            ).select("id", F.coalesce("s", F.lit(0.0)).alias("val"))
         return {"hub": u0, "authority": u0}
 
     state, start_iter, _ = runner.resume_or_init(init)

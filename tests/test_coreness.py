@@ -166,3 +166,42 @@ def test_global_transitivity_wedge_free(spark):
     row = global_transitivity(g).first()
     assert (row.n_triangles, row.n_wedges, row.transitivity) == (0, 0, 0.0)
     g.unpersist()
+
+
+def test_salsa_seeded_matches_numpy_and_differs_from_global(spark):
+    edges = [(0, 2), (0, 3), (1, 2), (1, 3), (4, 2), (3, 0), (4, 5), (5, 4)]
+    n = 6
+    g = _graph(spark, edges, n)
+    seed_ids = [4, 5]
+    seeds = spark.createDataFrame([(i,) for i in seed_ids], "id long")
+    got = {
+        r.id: (r.hub, r.authority)
+        for r in salsa(g, fixed_iters=3, seeds=seeds).collect()
+    }
+    # numpy replay with seed init
+    outd, ind = {}, {}
+    for a, b in edges:
+        outd[a] = outd.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    hub = {v: (1.0 / len(seed_ids) if v in seed_ids else 0.0) for v in range(n)}
+    for _ in range(3):
+        auth = {v: 0.0 for v in range(n)}
+        for a, b in edges:
+            auth[b] += hub[a] * (1.0 / outd[a])
+        s = sum(auth.values()) or 1.0
+        auth = {v: x / s for v, x in auth.items()}
+        hub = {v: 0.0 for v in range(n)}
+        for a, b in edges:
+            hub[a] += auth[b] * (1.0 / ind[b])
+        s = sum(hub.values()) or 1.0
+        hub = {v: x / s for v, x in hub.items()}
+    for v in range(n):
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-9), ("hub", v)
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-9), ("auth", v)
+    # personalization changes the ranking vs global
+    glob = {r.id: r.authority for r in salsa(g, fixed_iters=3).collect()}
+    assert any(abs(glob[v] - got[v][1]) > 1e-6 for v in range(n))
+    # empty seed set is a hard error
+    with pytest.raises(ValueError):
+        salsa(g, fixed_iters=1, seeds=seeds.limit(0)).collect()
+    g.unpersist()
