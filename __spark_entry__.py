@@ -785,6 +785,20 @@ def q_g_salsa_seeded(spark, sf_dir):
     )
 
 
+def q_g_katz(spark, sf_dir):
+    """Katz centrality (algorithms/katz.py): x ← beta + alpha·Aᵀx at a
+    FIXED 3 iterations on the directed order-sequence graph — the
+    attenuated-walk-count ranker completing the PageRank/HITS/SALSA
+    link-analysis family; oracle is the unrolled-CTE affine recurrence."""
+    from graphblast_spark.algorithms import katz_centrality
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return katz_centrality(g, alpha=0.05, beta=1.0, fixed_iters=3).select(
+        "id", F.round("katz", 6).alias("katz")
+    )
+
+
 def q_g_trussness(spark, sf_dir):
     """Full truss decomposition (per-edge trussness) via the edge
     h-index iteration (algorithms/ktruss.py truss_decomposition),
@@ -1075,6 +1089,27 @@ def q_d_boilerplate(spark, sf_dir):
     return remove_boilerplate(dirty, min_docs=25, spans=paragraph_spans(dirty))
 
 
+def q_d_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing map (functions/
+    packing.py pack_sequences): within each of 8 id-mod shards the
+    documents' whitespace tokens are concatenated in doc_id order and
+    cut every 64 tokens; one row per (doc × sequence) overlap. All-
+    integer output — exact hash oracle via window cumsum +
+    generate_series in DuckDB."""
+    from graphblast_spark.functions.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=8)
+
+
+def q_d_packing_stats(spark, sf_dir):
+    """Per-shard packing summary (functions/packing.py packing_stats):
+    sequence count, boundary-crossing docs, trailing-sequence fill
+    ratio for the same 64-token / 8-shard layout."""
+    from graphblast_spark.functions.packing import packing_stats
+
+    return packing_stats(_docs(spark, sf_dir), seq_len=64, n_shards=8)
+
+
 def q_d_clean_corpus(spark, sf_dir):
     """The composed curation pipeline (functions/pipeline.py) end to
     end: docs 5+ are the corpus, docs 0-4 the benchmark to
@@ -1287,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hits": q_g_hits,
         "g_salsa": q_g_salsa,
         "g_salsa_seeded": q_g_salsa_seeded,
+        "g_katz": q_g_katz,
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
@@ -1308,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_boilerplate": q_d_boilerplate,
         "d_anchor_agg": q_d_anchor_agg,
         "d_clean_corpus": q_d_clean_corpus,
+        "d_pack_sequences": q_d_pack_sequences,
+        "d_packing_stats": q_d_packing_stats,
         "d_exact_dedup": q_d_exact_dedup,
         "d_minhash_lsh": q_d_minhash_lsh,
         "d_jaccard": q_d_jaccard,
@@ -1824,6 +1862,75 @@ def _sql_salsa(iters: int = 3, seed_limit: int | None = None) -> str:
         f"{r6.format('a.v')} AS authority"
         f"\nFROM h{iters} h JOIN a{iters} a ON h.id = a.id"
     )
+
+
+def _sql_katz(iters: int = 3, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Katz affine recurrence unrolled (algorithms/katz.py): k_{t+1} =
+    beta + alpha·Σ in-link k_t, k_0 = beta, on the directed
+    order-sequence graph."""
+    parts = [
+        "ov AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe))",
+        f"k0 AS MATERIALIZED (SELECT id, CAST({beta} AS DOUBLE) AS v FROM ov)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"k{t + 1} AS MATERIALIZED (SELECT v.id, CAST({beta} AS DOUBLE) + "
+            f"CAST({alpha} AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS v "
+            f"FROM ov v LEFT JOIN (SELECT e.dst AS id, sum(x.v) AS c "
+            f"FROM oe e JOIN k{t} x ON e.src = x.id GROUP BY e.dst) s "
+            f"ON v.id = s.id)"
+        )
+    return (
+        f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
+        f"\nSELECT id, round(v, 6) AS katz FROM k{iters}"
+    )
+
+
+def _sql_pack_sequences(seq_len: int = 64, n_shards: int = 8) -> str:
+    """Concat-and-chunk packing map replay (functions/packing.py):
+    per-shard window cumsum for stream offsets, generate_series over
+    the sequence indices each doc touches. All-integer arithmetic."""
+    L = int(seq_len)
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {int(n_shards)} AS shard,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id, shard, tok,
+         CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS s
+  FROM d WHERE tok > 0
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(u.q AS BIGINT) AS seq_idx,
+       doc_id,
+       CAST(greatest(s, u.q * {L}) - s AS BIGINT) AS doc_offset,
+       CAST(greatest(s, u.q * {L}) - u.q * {L} AS BIGINT) AS seq_offset,
+       CAST(least(s + tok, (u.q + 1) * {L}) - greatest(s, u.q * {L}) AS BIGINT) AS n_tokens
+FROM w, unnest(generate_series(s // {L}, (s + tok - 1) // {L})) AS u(q)
+"""
+
+
+def _sql_packing_stats(seq_len: int = 64, n_shards: int = 8) -> str:
+    base = _sql_pack_sequences(seq_len, n_shards)
+    return f"""
+WITH packed AS ({base}),
+per_doc AS (
+  SELECT shard, doc_id, sum(n_tokens) AS tok, count(*) AS n_slices
+  FROM packed GROUP BY shard, doc_id
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(ceil(sum(tok) / CAST({float(seq_len)} AS DOUBLE)) AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN n_slices > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       round(sum(tok) / (ceil(sum(tok) / CAST({float(seq_len)} AS DOUBLE))
+             * CAST({float(seq_len)} AS DOUBLE)), 6) AS fill_ratio
+FROM per_doc GROUP BY shard
+"""
 
 
 def _sql_coreness(rounds: int = 3) -> str:
@@ -2471,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _sql_hits(3),
         "g_salsa": _sql_salsa(3),
         "g_salsa_seeded": _sql_salsa(3, seed_limit=4),
+        "g_katz": _sql_katz(3),
         "g_coreness": _sql_coreness(3),
         "g_trussness": _sql_trussness(2),
         "g_transitivity": f"""
@@ -3044,6 +3152,8 @@ def oracle_sql() -> dict[str, str]:
         # the composed curation pipeline (chained-CTE replay of every
         # stage over the previous stage's survivors)
         "d_clean_corpus": _sql_clean_corpus(),
+        "d_pack_sequences": _sql_pack_sequences(64, 8),
+        "d_packing_stats": _sql_packing_stats(64, 8),
         # replay of span_dedup_stats over disjoint 3-token windows:
         # corpus-wide md5-count per span, char-weighted per-doc dup
         # fraction (functions/dedup.py span_dedup_stats)

@@ -26,6 +26,7 @@ from graphblast_spark.functions.sampling import (
 )
 from graphblast_spark.functions.similarity import brute_force_topk, ivf_topk
 from graphblast_spark.functions.pipeline import clean_corpus, retention_stats
+from graphblast_spark.functions.packing import pack_sequences, packing_stats
 from graphblast_spark.functions.urls import (
     domain_edges,
     normalize_url,
@@ -43,4 +44,5 @@ __all__ = [
     "brute_force_topk", "ivf_topk",
     "normalize_url", "url_host", "url_site", "domain_edges",
     "clean_corpus", "retention_stats",
+    "pack_sequences", "packing_stats",
 ]
