@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     p.add_argument("algorithm",
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
-                            "kcore", "closeness", "hits", "bc", "ppr",
+                            "kcore", "closeness", "hits", "salsa", "katz", "bc", "ppr",
                             "scc", "bowtie", "anf", "harmonic", "trustrank", "spam-mass", "ktruss",
                             "clean-corpus", "domain-pr", "redact-pii",
                             "boilerplate"])
@@ -89,7 +89,8 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--directed", type=int, default=1, choices=[1, 2],
                    help="2 = symmetrize (reference --directed 2)")
-    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--alpha", type=float, default=None,
+                   help="damping (pr family default 0.85; katz attenuation default 0.05)")
     p.add_argument("--eps", type=float, default=1e-8)
     p.add_argument("--max-niter", type=int, default=100)
     p.add_argument("--niter", type=int, default=None,
@@ -141,6 +142,8 @@ def main(argv=None) -> int:
     p.add_argument("--min-docs", type=int, default=10,
                    help="boilerplate: distinct-doc support threshold")
     args = p.parse_args(argv)
+    if args.alpha is None:
+        args.alpha = 0.05 if args.algorithm == "katz" else 0.85
 
     from graphblast_spark import get_spark
     from graphblast_spark.descriptor import DEFAULT_DESC
@@ -314,6 +317,11 @@ def main(argv=None) -> int:
         out = A.closeness_centrality(g, n_sources=min(g.n, args.n_sources), desc=desc)
     elif args.algorithm == "hits":
         out = A.hits(g, fixed_iters=args.niter or 5, runner=runner)
+    elif args.algorithm == "salsa":
+        out = A.salsa(g, fixed_iters=args.niter or 5, runner=runner)
+    elif args.algorithm == "katz":
+        out = A.katz_centrality(
+            g, alpha=args.alpha, fixed_iters=args.niter or 5, runner=runner)
     elif args.algorithm == "bc":
         out = A.betweenness_centrality(
             g, n_sources=min(g.n, args.n_sources),

@@ -244,3 +244,22 @@ def test_cc_hook_step_single_edge_scan(spark):
     scans = len(re.findall(r"InMemoryTableScan", plan))
     assert scans == 1, f"edge table scanned {scans}x per superstep:\n{plan}"
     e.unpersist()
+
+
+def test_pack_sequences_plan_sharded_window_one_exchange(spark):
+    """The packing map must sort per SHARD, never globally: exactly one
+    hash-partitioning Exchange (by shard) feeding the window — a global
+    Window.orderBy would show Exchange SinglePartition / rangepartitioning
+    and funnel the corpus through one task — and no Python operators."""
+    from graphblast_spark.functions.packing import pack_sequences
+    from graphblast_spark.plans.audit import count_exchanges
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(40)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, seq_len=4, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("SinglePartition", "rangepartitioning",
+                "BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in pack_sequences plan:\n{plan}"
+    assert count_exchanges(out) == 1, plan
