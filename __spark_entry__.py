@@ -799,6 +799,21 @@ def q_g_katz(spark, sf_dir):
     )
 
 
+def q_g_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (algorithms/katz.py): L2-normalized
+    power iteration x ← Aᵀx/‖Aᵀx‖ at a FIXED 4 iterations on the
+    directed order-sequence graph — the undamped principal-eigenvector
+    limit of the katz/pagerank family; oracle is the unrolled-CTE
+    recurrence with one norm CTE per step."""
+    from graphblast_spark.algorithms import eigenvector_centrality
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return eigenvector_centrality(g, fixed_iters=4).select(
+        "id", F.round("eigen", 6).alias("eigen")
+    )
+
+
 def q_g_trussness(spark, sf_dir):
     """Full truss decomposition (per-edge trussness) via the edge
     h-index iteration (algorithms/ktruss.py truss_decomposition),
@@ -1323,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_salsa": q_g_salsa,
         "g_salsa_seeded": q_g_salsa_seeded,
         "g_katz": q_g_katz,
+        "g_eigenvector": q_g_eigenvector,
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
@@ -1884,6 +1900,37 @@ def _sql_katz(iters: int = 3, alpha: float = 0.05, beta: float = 1.0) -> str:
     return (
         f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
         f"\nSELECT id, round(v, 6) AS katz FROM k{iters}"
+    )
+
+
+def _sql_eigenvector(iters: int = 4) -> str:
+    """L2-normalized power iteration unrolled (algorithms/katz.py
+    eigenvector_centrality): y = Aᵀx, x = y/‖y‖₂ (0 if the vector
+    collapsed), x_0 = 1, on the directed order-sequence graph."""
+    parts = [
+        "ov AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe))",
+        "x0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS v FROM ov)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"y{t + 1} AS MATERIALIZED (SELECT v.id, "
+            f"coalesce(s.c, CAST(0.0 AS DOUBLE)) AS v "
+            f"FROM ov v LEFT JOIN (SELECT e.dst AS id, sum(x.v) AS c "
+            f"FROM oe e JOIN x{t} x ON e.src = x.id GROUP BY e.dst) s "
+            f"ON v.id = s.id)"
+        )
+        parts.append(
+            f"n{t + 1} AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS nm FROM y{t + 1})"
+        )
+        parts.append(
+            f"x{t + 1} AS MATERIALIZED (SELECT y.id, "
+            f"CASE WHEN n.nm > 0 THEN y.v / n.nm ELSE CAST(0.0 AS DOUBLE) END AS v "
+            f"FROM y{t + 1} y CROSS JOIN n{t + 1} n)"
+        )
+    return (
+        f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
+        f"\nSELECT id, round(v, 6) AS eigen FROM x{iters}"
     )
 
 
@@ -2579,6 +2626,7 @@ def oracle_sql() -> dict[str, str]:
         "g_salsa": _sql_salsa(3),
         "g_salsa_seeded": _sql_salsa(3, seed_limit=4),
         "g_katz": _sql_katz(3),
+        "g_eigenvector": _sql_eigenvector(4),
         "g_coreness": _sql_coreness(3),
         "g_trussness": _sql_trussness(2),
         "g_transitivity": f"""

@@ -97,3 +97,72 @@ def katz_centrality(
             x = state["x"]
 
     return x.select("id", F.col("val").alias("katz"))
+
+
+def eigenvector_centrality(
+    g: Graph,
+    fixed_iters: int = 10,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Returns (id long, eigen double): L2-normalized power iteration
+    x ← Aᵀx / ‖Aᵀx‖₂ from the all-ones vector — the undamped limit of
+    the Katz/PageRank family (the principal in-eigenvector direction;
+    Bonacich 1972). Completes the engine's centrality tier next to
+    katz/pagerank/hits/salsa.
+
+    Deterministic and oracle-replayable: a FIXED iteration count makes
+    the result a finite float64 expression an unrolled-CTE SQL oracle
+    replays (the hits.py/salsa.py posture). Vertices with no in-links
+    hold exactly 0 after the first step; if an iteration collapses to
+    the zero vector (possible on a DAG once all walks die out) the
+    normalization guard keeps it at exact zeros instead of NaN, which
+    is also the fixpoint the infinite series converges to there.
+
+    Scale: per step ONE shuffle — the vecmat join on src + agg on dst
+    with map-side partial sums absorbing hub fan-in (pagerank.py
+    plan), plus a single-row L2-norm aggregate broadcast back onto the
+    result (BroadcastNestedLoopJoin of one row; no second shuffle of
+    the vertex table).
+    """
+    spark = g.edges.sparkSession
+    if runner is None:
+        runner = SuperstepRunner(spark)
+
+    edges = g.edges.select("src", "dst")
+    verts = g.vertices.select("id")
+
+    def init():
+        return {"x": verts.select("id", F.lit(1.0).alias("val"))}
+
+    state, start_iter, _ = runner.resume_or_init(init)
+    x = state["x"]
+
+    with stable_partitions(spark):
+        for it in range(start_iter, fixed_iters):
+            t0 = time.time()
+            v = x.hint("shuffle_hash")
+            contribs = edges.join(v, on=edges["src"] == v["id"], how="inner").select(
+                F.col("dst").alias("id"), F.col("val").alias("c")
+            )
+            y = (
+                contribs.unionByName(verts.select("id", F.lit(0.0).alias("c")))
+                .groupBy("id")
+                .agg(F.sum("c").alias("val"))
+            )
+            nrm = y.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+            x = (
+                y.crossJoin(F.broadcast(nrm))
+                .select(
+                    "id",
+                    F.when(F.col("nrm") > 0.0, F.col("val") / F.col("nrm"))
+                    .otherwise(F.lit(0.0))
+                    .alias("val"),
+                )
+                .transform(truncate_plan)
+            )
+            state = runner.commit(
+                it, {"x": x}, metrics={"ms": (time.time() - t0) * 1000.0}
+            )
+            x = state["x"]
+
+    return x.select("id", F.col("val").alias("eigen"))

@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     p.add_argument("algorithm",
                    choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
-                            "kcore", "closeness", "hits", "salsa", "katz", "bc", "ppr",
+                            "kcore", "closeness", "hits", "salsa", "katz", "eigen", "bc", "ppr",
                             "scc", "bowtie", "anf", "harmonic", "trustrank", "spam-mass", "ktruss",
                             "clean-corpus", "domain-pr", "redact-pii",
                             "boilerplate"])
@@ -322,6 +322,9 @@ def main(argv=None) -> int:
     elif args.algorithm == "katz":
         out = A.katz_centrality(
             g, alpha=args.alpha, fixed_iters=args.niter or 5, runner=runner)
+    elif args.algorithm == "eigen":
+        out = A.eigenvector_centrality(
+            g, fixed_iters=args.niter or 10, runner=runner)
     elif args.algorithm == "bc":
         out = A.betweenness_centrality(
             g, n_sources=min(g.n, args.n_sources),

@@ -193,3 +193,14 @@ def test_cli_cc_warm_start_labels(spark, capsys, tmp_path):
     assert a == b
     n_iters = sum(1 for _ in open(os.path.join(md, "metrics.jsonl")))
     assert n_iters <= 2, n_iters
+
+
+def test_cli_eigen_and_katz_smoke(spark, capsys):
+    for argv in (
+        ["eigen", "--fixture", "chesapeake", "--niter", "4"],
+        ["katz", "--fixture", "chesapeake", "--niter", "3"],
+    ):
+        rc = main(argv)
+        assert rc == 0, argv
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows_out"] > 0, argv

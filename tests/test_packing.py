@@ -136,3 +136,45 @@ def test_katz_matches_numpy_and_validates_alpha(spark):
     with pytest.raises(ValueError):
         katz_centrality(g, alpha=1.5)
     g.unpersist()
+
+
+def test_eigenvector_matches_numpy_power_iteration(spark):
+    from graphblast_spark.algorithms import eigenvector_centrality
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2), (4, 3)]
+    n, iters = 5, 6
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, val double"
+    )
+    g = Graph.build(e, vertices=spark.range(n).selectExpr("id"))
+    got = {r.id: r.eigen for r in eigenvector_centrality(
+        g, fixed_iters=iters
+    ).collect()}
+    x = [1.0] * n
+    for _ in range(iters):
+        y = [0.0] * n
+        for a, b in edges:
+            y[b] += x[a]
+        nm = sum(v * v for v in y) ** 0.5
+        x = [v / nm if nm > 0 else 0.0 for v in y]
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-12), v
+    # in-link-free vertex is exactly 0 after the first step
+    assert got[4] == 0.0
+    # the result is unit-length
+    assert sum(v * v for v in got.values()) == pytest.approx(1.0)
+    g.unpersist()
+
+
+def test_eigenvector_zero_collapse_is_zeros_not_nan(spark):
+    """On a path DAG all walks die out; once Aᵀx hits the zero vector
+    the normalization guard must pin exact zeros instead of NaN."""
+    from graphblast_spark.algorithms import eigenvector_centrality
+
+    e = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, val double")
+    g = Graph.build(e, vertices=spark.range(2).selectExpr("id"))
+    got = {r.id: r.eigen for r in eigenvector_centrality(
+        g, fixed_iters=3
+    ).collect()}
+    assert got == {0: 0.0, 1: 0.0}
+    g.unpersist()
