@@ -814,6 +814,21 @@ def q_g_eigenvector(spark, sf_dir):
     )
 
 
+def q_g_louvain(spark, sf_dir):
+    """Louvain community detection (algorithms/louvain.py) at the
+    contract form — ONE level, TWO gated synchronous local-move
+    rounds on the directed order-sequence graph (parity + Grappolo
+    singleton gates make the parallel moves deterministic). The
+    multi-level contraction path and modularity convergence are
+    pytest-pinned (tests/test_louvain.py); oracle is the unrolled
+    CTE replay of both move rounds' gain arithmetic."""
+    from graphblast_spark.algorithms import louvain
+    from graphblast_spark.sources.tpch_graphs import ordseq_graph
+
+    g = ordseq_graph(spark, sf_dir)
+    return louvain(g, levels=1, move_rounds=2)
+
+
 def q_g_trussness(spark, sf_dir):
     """Full truss decomposition (per-edge trussness) via the edge
     h-index iteration (algorithms/ktruss.py truss_decomposition),
@@ -1339,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_salsa_seeded": q_g_salsa_seeded,
         "g_katz": q_g_katz,
         "g_eigenvector": q_g_eigenvector,
+        "g_louvain": q_g_louvain,
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
@@ -1900,6 +1916,71 @@ def _sql_katz(iters: int = 3, alpha: float = 0.05, beta: float = 1.0) -> str:
     return (
         f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
         f"\nSELECT id, round(v, 6) AS katz FROM k{iters}"
+    )
+
+
+def _sql_louvain_round(prev: str, t: int) -> str:
+    """CTEs for one gated Louvain local-move round (algorithms/
+    louvain.py _move_round) from community table ``prev`` → c{t+1}:
+    Σtot/size per community, k(v→c) neighbor-weight aggregate, the
+    stay-vs-argmax gain comparison with parity and singleton-swap
+    gates. Arithmetic is exact (integer-valued float64 products
+    < 2^53, one correctly-rounded division per score), so the
+    argmax tie-break (score DESC, c ASC) replays bit-for-bit."""
+    n = t + 1
+    return f"""
+s{n} AS MATERIALIZED (
+  SELECT c.comm, sum(d.deg) AS tot, count(*) AS sz
+  FROM {prev} c JOIN deg d USING (id) GROUP BY c.comm),
+k{n} AS MATERIALIZED (
+  SELECT s.src AS id, c.comm AS c, sum(s.w) AS k
+  FROM sym s JOIN {prev} c ON s.dst = c.id GROUP BY s.src, c.comm),
+stay{n} AS MATERIALIZED (
+  SELECT c.id, c.comm AS cur, d.deg, st.sz AS sz_cur,
+         coalesce(k.k, CAST(0.0 AS DOUBLE))
+           - d.deg * (st.tot - d.deg) / m2.m2 AS stay_score
+  FROM {prev} c JOIN deg d USING (id)
+  JOIN s{n} st ON st.comm = c.comm
+  LEFT JOIN k{n} k ON k.id = c.id AND k.c = c.comm
+  CROSS JOIN m2),
+best{n} AS MATERIALIZED (
+  SELECT id, c, sz_tgt, score FROM (
+    SELECT k.id, k.c, st.sz AS sz_tgt,
+           k.k - y.deg * st.tot / m2.m2 AS score,
+           row_number() OVER (PARTITION BY k.id
+             ORDER BY (k.k - y.deg * st.tot / m2.m2) DESC, k.c ASC) AS rn
+    FROM k{n} k JOIN stay{n} y USING (id)
+    JOIN s{n} st ON st.comm = k.c CROSS JOIN m2
+    WHERE k.c <> y.cur)
+  WHERE rn = 1),
+c{n} AS MATERIALIZED (
+  SELECT y.id,
+    CASE WHEN b.id IS NOT NULL AND y.id % 2 = {t % 2}
+              AND b.score > y.stay_score
+              AND NOT (y.sz_cur = 1 AND b.sz_tgt = 1 AND b.c > y.cur)
+         THEN b.c ELSE y.cur END AS comm
+  FROM stay{n} y LEFT JOIN best{n} b USING (id))"""
+
+
+def _sql_louvain(rounds: int = 2) -> str:
+    """Single-level Louvain contract replay: canonical undirected
+    weights, degrees, then ``rounds`` unrolled gated move rounds."""
+    parts = [
+        "und AS MATERIALIZED (SELECT least(src, dst) AS a, "
+        "greatest(src, dst) AS b, sum(CAST(1.0 AS DOUBLE)) AS w "
+        "FROM oe GROUP BY 1, 2)",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und "
+        "UNION ALL SELECT b, a, w FROM und)",
+        "deg AS MATERIALIZED (SELECT src AS id, sum(w) AS deg FROM sym "
+        "GROUP BY src)",
+        "m2 AS MATERIALIZED (SELECT sum(deg) AS m2 FROM deg)",
+        "c0 AS MATERIALIZED (SELECT id, id AS comm FROM deg)",
+    ]
+    for t in range(rounds):
+        parts.append(_sql_louvain_round(f"c{t}", t).strip().lstrip())
+    return (
+        f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
+        f"\nSELECT id, comm AS community FROM c{rounds}"
     )
 
 
@@ -2627,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "g_salsa_seeded": _sql_salsa(3, seed_limit=4),
         "g_katz": _sql_katz(3),
         "g_eigenvector": _sql_eigenvector(4),
+        "g_louvain": _sql_louvain(2),
         "g_coreness": _sql_coreness(3),
         "g_trussness": _sql_trussness(2),
         "g_transitivity": f"""

@@ -74,7 +74,7 @@ def _write(df, args, default_name):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="graphblast_spark")
     p.add_argument("algorithm",
-                   choices=["pr", "cc", "lp", "tc", "bfs", "sssp", "mis",
+                   choices=["pr", "cc", "lp", "louvain", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
                             "kcore", "closeness", "hits", "salsa", "katz", "eigen", "bc", "ppr",
                             "scc", "bowtie", "anf", "harmonic", "trustrank", "spam-mass", "ktruss",
@@ -139,6 +139,8 @@ def main(argv=None) -> int:
                    help="anf: HLL sketch lgConfigK (error ≈ 1.04/√2^lg_k)")
     p.add_argument("--exact-anf", action="store_true",
                    help="anf: exact all-pairs MSBFS instead of HyperBall")
+    p.add_argument("--levels", type=int, default=3,
+                   help="louvain: max contraction levels")
     p.add_argument("--min-docs", type=int, default=10,
                    help="boilerplate: distinct-doc support threshold")
     args = p.parse_args(argv)
@@ -296,6 +298,9 @@ def main(argv=None) -> int:
             out = A.connected_components(g, desc=desc, runner=runner)
     elif args.algorithm == "lp":
         out = A.label_propagation_majority(g, iters=args.niter or 10)
+    elif args.algorithm == "louvain":
+        out = A.louvain(g, levels=args.levels,
+                        move_rounds=args.niter or 4, runner=runner)
     elif args.algorithm == "tc":
         n_tri = A.triangle_count(g)
         out = spark.createDataFrame([(n_tri,)], "n_triangles long")

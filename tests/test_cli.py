@@ -204,3 +204,10 @@ def test_cli_eigen_and_katz_smoke(spark, capsys):
         assert rc == 0, argv
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["rows_out"] > 0, argv
+
+
+def test_cli_louvain_smoke(spark, capsys):
+    rc = main(["louvain", "--fixture", "chesapeake", "--niter", "2", "--levels", "1"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_out"] > 0
