@@ -263,3 +263,40 @@ def test_pack_sequences_plan_sharded_window_one_exchange(spark):
                 "BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan, f"{bad} in pack_sequences plan:\n{plan}"
     assert count_exchanges(out) == 1, plan
+
+
+def test_louvain_move_round_plan_no_python_no_window(spark):
+    """One Louvain move round must stay JVM-side: hash aggregates and
+    hash joins only — no Python workers, no window (the argmax is a
+    struct-max aggregate), no cartesian product (the only scalar is
+    m2, passed as a literal). Pinned on _move_round directly: the
+    public louvain() output is lineage-truncated, so its executed
+    plan is a checkpoint scan and would make this assertion vacuous."""
+    from pyspark.sql import functions as F
+    from graphblast_spark.algorithms.louvain import (
+        _canonical_undirected,
+        _move_round,
+    )
+    from graphblast_spark.matrix import Graph
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 12, 1.0) for i in range(12)] + [(0, 6, 1.0)],
+        "src long, dst long, val double",
+    )
+    g = Graph.build(e, vertices=spark.range(12).selectExpr("id"))
+    und = _canonical_undirected(g.edges)
+    nd = und.filter(F.col("a") != F.col("b"))
+    sym = nd.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        nd.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("deg"))
+    comm = deg.select("id", F.col("id").alias("comm"))
+    plan = (
+        _move_round(sym, deg, comm, 26.0, 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "Window", "rangepartitioning"):
+        assert bad not in plan, f"{bad} in louvain move-round plan:\n{plan}"
+    g.unpersist()
