@@ -55,6 +55,7 @@ from graphblast_spark.matrix import Graph
 from graphblast_spark.runtime.superstep import (
     SuperstepRunner,
     child_runner,
+    scaled_partition_count,
     stable_partitions,
     truncate_plan,
 )
@@ -186,39 +187,48 @@ def louvain(
     for lvl in range(levels):
         lrun = child_runner(runner, spark, f"level{lvl}")
         und = und.persist()
-        nondiag = und.filter(F.col("a") != F.col("b"))
-        sym = (
-            nondiag.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
-            .unionByName(
-                nondiag.select(
-                    F.col("b").alias("src"), F.col("a").alias("dst"), "w"
-                )
-            )
-            .persist()
-        )
-        deg = (
-            sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("d1"))
-            .unionByName(
-                und.filter(F.col("a") == F.col("b")).select(
-                    F.col("a").alias("id"), (F.lit(2.0) * F.col("w")).alias("d1")
-                )
-            )
-            .groupBy("id")
-            .agg(F.sum("d1").alias("deg"))
-            .persist()
-        )
-        m2 = float(deg.agg(F.sum("deg")).first()[0] or 0.0)
-        if m2 <= 0.0:
-            und.unpersist(); sym.unpersist(); deg.unpersist()
+        n_edges = und.count()
+        if n_edges == 0:
+            und.unpersist()
             break
+        # Clamp the level's shuffle width to its actual state size
+        # (sym = 2|E| rows) — at sandbox scale the 4-shuffle move
+        # round otherwise schedules hundreds of near-empty tasks per
+        # superstep (the scc.py lesson); a no-op at real data volumes.
+        width = scaled_partition_count(spark, 2 * n_edges)
+        with stable_partitions(spark, width):
+            nondiag = und.filter(F.col("a") != F.col("b"))
+            sym = (
+                nondiag.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+                .unionByName(
+                    nondiag.select(
+                        F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+                    )
+                )
+                .persist()
+            )
+            deg = (
+                sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("d1"))
+                .unionByName(
+                    und.filter(F.col("a") == F.col("b")).select(
+                        F.col("a").alias("id"), (F.lit(2.0) * F.col("w")).alias("d1")
+                    )
+                )
+                .groupBy("id")
+                .agg(F.sum("d1").alias("deg"))
+                .persist()
+            )
+            m2 = float(deg.agg(F.sum("deg")).first()[0] or 0.0)
+            if m2 <= 0.0:
+                und.unpersist(); sym.unpersist(); deg.unpersist()
+                break
 
-        state, start_iter, _ = lrun.resume_or_init(
-            lambda: {"comm": deg.select("id", F.col("id").alias("comm"))}
-        )
-        comm = state["comm"]
-        zero_streak = 0
-        level_moved = 0
-        with stable_partitions(spark):
+            state, start_iter, _ = lrun.resume_or_init(
+                lambda: {"comm": deg.select("id", F.col("id").alias("comm"))}
+            )
+            comm = state["comm"]
+            zero_streak = 0
+            level_moved = 0
             for it in range(start_iter, move_rounds):
                 t0 = time.time()
                 nxt = _move_round(sym, deg, comm, m2, it % 2).transform(
@@ -238,26 +248,33 @@ def louvain(
                 if zero_streak >= 2:
                     break
 
-        cm = comm.select(F.col("id").alias("v"), F.col("comm").alias("cv"))
-        mapping = (
-            mapping.join(cm, mapping["community"] == cm["v"])
-            .select("id", F.col("cv").alias("community"))
-            .transform(truncate_plan)
-        )
-        contracted = (
-            und.join(cm.withColumnRenamed("v", "a").withColumnRenamed("cv", "ca"), "a")
-            .join(cm.withColumnRenamed("v", "b").withColumnRenamed("cv", "cb"), "b")
-            .select(
-                F.least("ca", "cb").alias("a"),
-                F.greatest("ca", "cb").alias("b"),
-                "w",
+            cm = comm.select(F.col("id").alias("v"), F.col("comm").alias("cv"))
+            mapping = (
+                mapping.join(cm, mapping["community"] == cm["v"])
+                .select("id", F.col("cv").alias("community"))
+                .transform(truncate_plan)
             )
-            .groupBy("a", "b")
-            .agg(F.sum("w").alias("w"))
-        )
+            # Contract only when another level will consume it: at the
+            # final level (or a zero-move fixpoint, where coarser
+            # levels cannot move either) the contracted graph is dead
+            # work.
+            contracted = None
+            if lvl < levels - 1 and level_moved > 0:
+                contracted = (
+                    und.join(cm.withColumnRenamed("v", "a").withColumnRenamed("cv", "ca"), "a")
+                    .join(cm.withColumnRenamed("v", "b").withColumnRenamed("cv", "cb"), "b")
+                    .select(
+                        F.least("ca", "cb").alias("a"),
+                        F.greatest("ca", "cb").alias("b"),
+                        "w",
+                    )
+                    .groupBy("a", "b")
+                    .agg(F.sum("w").alias("w"))
+                    .transform(truncate_plan)
+                )
         und.unpersist(); sym.unpersist(); deg.unpersist()
+        if contracted is None:
+            break
         und = contracted
-        if level_moved == 0:
-            break  # fixpoint: coarser levels cannot move either
 
     return mapping
