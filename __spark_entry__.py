@@ -874,6 +874,22 @@ def q_g_random_walks(spark, sf_dir):
     return random_walks(g, n_roots=48, walk_length=6).select("walk_id", "step", "id")
 
 
+def q_g_node2vec(spark, sf_dir):
+    """node2vec second-order biased walks (algorithms/walks.py
+    node2vec_walks, Grover & Leskovec 2016) at p=2, q=0.5 (depth-
+    seeking), 32 roots × 4 steps on the copurchase graph. The bias
+    weights are integer-quantized (360360/p etc) and the pick is an
+    exact-int64 first-prefix-crossing scan, so the oracle replays the
+    walks bit-for-bit with a window prefix-sum + edge-existence
+    EXISTS per unrolled step."""
+    from graphblast_spark.algorithms.walks import node2vec_walks
+
+    g = copurchase_graph(spark, sf_dir)
+    return node2vec_walks(
+        g, n_roots=32, walk_length=4, p=2.0, q=0.5
+    ).select("walk_id", "step", "id")
+
+
 def q_g_nbr_sample(spark, sf_dir):
     from graphblast_spark.algorithms.walks import neighborhood_sample
 
@@ -1355,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_katz": q_g_katz,
         "g_eigenvector": q_g_eigenvector,
         "g_louvain": q_g_louvain,
+        "g_node2vec": q_g_node2vec,
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
@@ -1982,6 +1999,61 @@ def _sql_louvain(rounds: int = 2) -> str:
         f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
         f"\nSELECT id, comm AS community FROM c{rounds}"
     )
+
+
+def _sql_node2vec(
+    steps: int = 4, p: float = 2.0, q: float = 0.5, n_roots: int = 32
+) -> str:
+    """node2vec biased-walk replay (algorithms/walks.py
+    node2vec_walks): per unrolled step, candidate weights via the
+    quantized return/common/outward CASE (common = directed edge-
+    existence EXISTS on prev→dst), dst-ascending window prefix-sum,
+    and the first-crossing pick cum > rr AND cum - wt <= rr with
+    rr the two-draw step hash mod Σweights — exact int64 end to end."""
+    from graphblast_spark.algorithms.walks import (
+        _A_ID, _A_STEP, _A_WALK, _MOD, _N2V_OFFSET, _n2v_weights,
+    )
+
+    wr, wc, wo = _n2v_weights(p, q)
+    parts = [
+        "ranked AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM edges)",
+        f"roots AS (SELECT id FROM vertices ORDER BY id LIMIT {n_roots})",
+        "s0 AS (SELECT id AS walk_id, CAST(NULL AS BIGINT) AS prev, id FROM roots)",
+        f"s1 AS (SELECT w.walk_id, w.id AS prev, r.dst AS id "
+        f"FROM s0 w JOIN ranked r ON r.src = w.id "
+        f"AND r.idx = ((w.walk_id*{_A_WALK} + w.id*{_A_ID}) % {_MOD}) % r.deg)",
+    ]
+    for t in range(1, steps):
+        parts.append(
+            f"c{t} AS (SELECT w.walk_id, w.prev, w.id, r.dst, r.idx, "
+            f"CASE WHEN r.dst = w.prev THEN {wr} "
+            f"WHEN EXISTS (SELECT 1 FROM edges e2 WHERE e2.src = w.prev "
+            f"AND e2.dst = r.dst) THEN {wc} ELSE {wo} END AS wt "
+            f"FROM s{t} w JOIN ranked r ON r.src = w.id)"
+        )
+        parts.append(
+            f"p{t} AS (SELECT *, sum(wt) OVER (PARTITION BY walk_id "
+            f"ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum, "
+            f"sum(wt) OVER (PARTITION BY walk_id) AS tot FROM c{t})"
+        )
+        parts.append(
+            f"q{t} AS (SELECT *, "
+            f"(((walk_id*{_A_WALK} + {t}*{_A_STEP} + id*{_A_ID}) % {_MOD}) "
+            f"* {_MOD} + ((walk_id*{_A_WALK} "
+            f"+ CAST({t + _N2V_OFFSET} AS BIGINT)*{_A_STEP} "
+            f"+ id*{_A_ID}) % {_MOD})) % tot AS rr FROM p{t})"
+        )
+        parts.append(
+            f"s{t + 1} AS (SELECT walk_id, id AS prev, dst AS id "
+            f"FROM q{t} WHERE cum > rr AND cum - wt <= rr)"
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, id FROM s{t}"
+        for t in range(steps + 1)
+    )
+    return f"WITH {_EDGES}, {_VERTICES},\n" + ",\n".join(parts) + "\n" + sel
 
 
 def _sql_eigenvector(iters: int = 4) -> str:
@@ -2709,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         "g_katz": _sql_katz(3),
         "g_eigenvector": _sql_eigenvector(4),
         "g_louvain": _sql_louvain(2),
+        "g_node2vec": _sql_node2vec(4),
         "g_coreness": _sql_coreness(3),
         "g_trussness": _sql_trussness(2),
         "g_transitivity": f"""

@@ -54,7 +54,7 @@ from graphblast_spark.algorithms.scc import (
     condensation,
     strongly_connected_components,
 )
-from graphblast_spark.algorithms.walks import neighborhood_sample, random_walks
+from graphblast_spark.algorithms.walks import neighborhood_sample, node2vec_walks, random_walks
 
 __all__ = [
     "pagerank",
@@ -107,4 +107,5 @@ __all__ = [
     "multi_source_bfs",
     "neighborhood_sample",
     "random_walks",
+    "node2vec_walks",
 ]

@@ -47,8 +47,11 @@ _A_WALK, _A_STEP, _A_ID, _MOD = 1_000_003, 10_007, 31, 999_983
 
 
 def _hstep(walk_id, step, vid):
+    # step is cast to long: int32 literals would overflow at the
+    # node2vec second-draw offset (1e6 * 10007 > 2^31) under ANSI mode
     return F.pmod(
-        walk_id * F.lit(_A_WALK) + F.lit(step) * F.lit(_A_STEP) + vid * F.lit(_A_ID),
+        walk_id * F.lit(_A_WALK) + F.lit(step).cast("long") * F.lit(_A_STEP)
+        + vid * F.lit(_A_ID),
         F.lit(_MOD),
     )
 
@@ -166,6 +169,155 @@ def random_walks(
     result = rows[0]
     for r in rows[1:]:
         result = result.unionByName(r)
+    adj.unpersist()
+    return result.select("walk_id", "step", "id")
+
+
+# node2vec bias quantization base: 2^3*3^2*5*7*11*13 — the return
+# (1/p) and in-out (1/q) weights become EXACT integers for every p, q
+# whose reciprocal has only these factors (1/4, 1/3, 1/2, 1, 2, 3, 4,
+# ...), keeping the whole step rule in exact int64 arithmetic so it
+# replays bit-for-bit at any cluster size and in the SQL oracle.
+_N2V_SCALE = 360_360
+# second hash draw offset: widens the selection hash to ~1e12 so
+# r = H mod Σweights is unbiased even when Σweights ≫ one draw's range
+_N2V_OFFSET = 1_000_000
+
+
+def _n2v_weights(p: float, q: float) -> tuple[int, int, int]:
+    if not (p > 0 and q > 0):
+        raise ValueError(f"node2vec p and q must be > 0; got p={p!r} q={q!r}")
+    wr, wo = round(_N2V_SCALE / p), round(_N2V_SCALE / q)
+    if wr <= 0 or wo <= 0:
+        raise ValueError(f"node2vec p/q too large: quantized weight is 0 (p={p!r} q={q!r})")
+    return wr, _N2V_SCALE, wo
+
+
+def node2vec_walks(
+    g: Graph,
+    roots: DataFrame | None = None,
+    n_roots: int = 64,
+    walk_length: int = 8,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_root: int = 1,
+    max_degree: int | str | None = "auto",
+    ckpt_every: int = 4,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016):
+    (walk_id long, step long, id long). From vertex v reached via prev
+    u, candidate x ∈ N(v) carries weight 1/p if x = u (return), 1 if
+    x ∈ N(u) (triangle-closing), 1/q otherwise (outward) — p > 1
+    discourages backtracking, q < 1 encourages depth-first exploration.
+
+    Determinism contract (the random_walks posture, module docstring):
+    weights are quantized to integers round(360360/p) / 360360 /
+    round(360360/q) and the pick is the first candidate (dst-ascending)
+    whose integer prefix-sum exceeds H mod Σweights, H a two-draw
+    ~1e12-range step hash — EXACT int64 arithmetic end to end, so the
+    same walks fall out on any partitioning and in the unrolled SQL
+    oracle (window prefix-sum + edge-existence join). Step 0→1 has no
+    prev and uses random_walks' uniform rule. Walks stop at dead ends.
+
+    Plan shape: one extra hash join per step vs random_walks — the
+    frontier joins adjacency on BOTH the current vertex (candidates)
+    and the previous vertex (the N(u) membership array); the weight/
+    prefix/pick logic is a single higher-order ``aggregate`` over the
+    candidate array, fully JVM-side. Hub truncation semantics are
+    inherited from :func:`adjacency_arrays` (``max_degree="auto"``).
+    """
+    wr, wc, wo = _n2v_weights(p, q)
+    if roots is None:
+        roots = g.vertices.orderBy("id").limit(n_roots)
+    k = walks_per_root
+    start = roots.select(F.col("id"))
+    if k == 1:
+        frontier0 = start.select(F.col("id").alias("walk_id"), F.col("id"))
+    else:
+        frontier0 = start.join(
+            start.sparkSession.range(k).select(F.col("id").alias("j")), how="cross"
+        ).select((F.col("id") * k + F.col("j")).alias("walk_id"), F.col("id"))
+
+    adj = adjacency_arrays(g, max_degree=max_degree).persist()
+    padj = adj.select(
+        F.col("src").alias("psrc"), F.col("nbrs").alias("pnbrs")
+    )
+    rows = [frontier0.withColumn("step", F.lit(0).cast("long")).select("walk_id", "step", "id")]
+    if walk_length < 1:
+        adj.unpersist()
+        return rows[0]
+
+    # step 0 -> 1: uniform (no prev), identical to random_walks' rule
+    idx0 = F.pmod(_hstep(F.col("walk_id"), 0, F.col("id")), F.col("deg"))
+    frontier = (
+        frontier0.join(adj, on=frontier0["id"] == adj["src"], how="inner")
+        .select(
+            "walk_id",
+            frontier0["id"].alias("prev"),
+            F.element_at("nbrs", (idx0 + 1).cast("int")).alias("id"),
+        )
+    )
+    rows.append(
+        frontier.withColumn("step", F.lit(1).cast("long")).select("walk_id", "step", "id")
+    )
+
+    def _wt(x):
+        return (
+            F.when(x == F.col("prev"), F.lit(wr))
+            .when(F.array_contains(F.col("pnbrs"), x), F.lit(wc))
+            .otherwise(F.lit(wo))
+            .cast("long")
+        )
+
+    for t in range(1, walk_length):
+        cand = (
+            frontier.join(adj, on=frontier["id"] == adj["src"], how="inner")
+            .join(padj.hint("shuffle_hash"), on=frontier["prev"] == padj["psrc"], how="inner")
+            .select("walk_id", "prev", frontier["id"].alias("id"), "nbrs", "pnbrs")
+        )
+        h1 = _hstep(F.col("walk_id"), t, F.col("id"))
+        h2 = _hstep(F.col("walk_id"), t + _N2V_OFFSET, F.col("id"))
+        # tot and r materialize as plain columns BEFORE the pick fold:
+        # embedding one aggregate() inside another lambda would collide
+        # their bound lambda variables during analysis
+        staged = cand.withColumn(
+            "tot",
+            F.aggregate("nbrs", F.lit(0).cast("long"), lambda s, x: s + _wt(x)),
+        ).withColumn("r", F.pmod(h1 * F.lit(_MOD) + h2, F.col("tot")))
+        # first-crossing scan: pick = first i (0-based, dst-ascending)
+        # with prefix-sum(i) > r — a fold over the candidate array
+        pick = F.aggregate(
+            "nbrs",
+            F.struct(
+                F.lit(0).cast("long").alias("s"),
+                F.lit(-1).cast("int").alias("pick"),
+                F.lit(0).cast("int").alias("i"),
+            ),
+            lambda a, x: F.struct(
+                (a["s"] + _wt(x)).alias("s"),
+                F.when(a["pick"] >= 0, a["pick"])
+                .when(a["s"] + _wt(x) > F.col("r"), a["i"])
+                .otherwise(F.lit(-1))
+                .alias("pick"),
+                (a["i"] + 1).alias("i"),
+            ),
+            lambda a: a["pick"],
+        )
+        frontier = staged.withColumn("pick", pick).select(
+            "walk_id",
+            F.col("id").alias("prev"),
+            F.element_at("nbrs", (F.col("pick") + 1).cast("int")).alias("id"),
+        )
+        if (t + 1) % ckpt_every == 0:
+            frontier = frontier.transform(truncate_plan)
+        rows.append(
+            frontier.withColumn("step", F.lit(t + 1).cast("long")).select(
+                "walk_id", "step", "id"
+            )
+        )
+    result = rows[0]
+    for rdf in rows[1:]:
+        result = result.unionByName(rdf)
     adj.unpersist()
     return result.select("walk_id", "step", "id")
 

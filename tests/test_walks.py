@@ -200,3 +200,103 @@ def test_sampled_adjacency_plan_has_no_full_edge_single_window(spark):
     assert n_windows == 2, plan  # salted pre-rank + bounded re-rank
     assert "pmod" in plan.lower()
     g.unpersist()
+
+
+def _n2v_oracle(n, edges, roots, length, p, q):
+    from graphblast_spark.algorithms.walks import _N2V_OFFSET, _n2v_weights
+
+    wr, wc, wo = _n2v_weights(p, q)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    nbrs = {s: sorted(ds) for s, ds in adj.items()}
+
+    def h(w, t, v):
+        return (w * _A_WALK + t * _A_STEP + v * _A_ID) % _MOD
+
+    out = []
+    for r in roots:
+        v = r
+        out.append((r, 0, r))
+        if v not in nbrs:
+            continue
+        ns = nbrs[v]
+        prev, v = v, ns[h(r, 0, v) % len(ns)]
+        out.append((r, 1, v))
+        for t in range(1, length):
+            if v not in nbrs:
+                break
+            cands = nbrs[v]
+            ws = [
+                wr if x == prev else (wc if x in adj.get(prev, set()) else wo)
+                for x in cands
+            ]
+            tot = sum(ws)
+            rr = (h(r, t, v) * _MOD + h(r, t + _N2V_OFFSET, v)) % tot
+            s_, pick = 0, -1
+            for i, w_ in enumerate(ws):
+                s_ += w_
+                if pick < 0 and s_ > rr:
+                    pick = i
+            prev, v = v, cands[pick]
+            out.append((r, t + 1, v))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name,p,q", [
+    ("test_pr", 2.0, 0.5),
+    ("chesapeake", 0.25, 4.0),
+    ("test_cc", 1.0, 1.0),
+])
+def test_node2vec_walks_match_python_replay(spark, name, p, q):
+    from graphblast_spark.algorithms.walks import node2vec_walks
+
+    n, edges = _sym_edges(name)
+    g = fixture_graph(spark, name)
+    roots = list(range(min(n, 16)))
+    got = sorted(
+        (r["walk_id"], r["step"], r["id"])
+        for r in node2vec_walks(
+            g, n_roots=len(roots), walk_length=5, p=p, q=q
+        ).collect()
+    )
+    assert got == _n2v_oracle(n, edges, roots, 5, p, q)
+
+
+def test_node2vec_first_step_is_uniform_rule(spark):
+    """Step 0→1 has no prev vertex, so it must coincide with
+    random_walks' uniform pick — the documented degenerate case."""
+    from graphblast_spark.algorithms.walks import node2vec_walks
+
+    g = fixture_graph(spark, "chesapeake")
+    uni = {
+        (r["walk_id"], r["step"]): r["id"]
+        for r in random_walks(g, n_roots=8, walk_length=1).collect()
+    }
+    n2v = {
+        (r["walk_id"], r["step"]): r["id"]
+        for r in node2vec_walks(
+            g, n_roots=8, walk_length=3, p=4.0, q=0.25
+        ).collect()
+        if r["step"] <= 1
+    }
+    assert n2v == uni
+
+
+def test_node2vec_every_hop_is_an_edge_and_validates_pq(spark):
+    from graphblast_spark.algorithms.walks import node2vec_walks
+
+    n, edges = _sym_edges("test_pr")
+    eset = set(edges)
+    g = fixture_graph(spark, "test_pr")
+    rows = node2vec_walks(g, n_roots=8, walk_length=4, p=0.5, q=2.0).collect()
+    byw = {}
+    for r in rows:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["id"]
+    for w, steps in byw.items():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in eset
+    with pytest.raises(ValueError):
+        node2vec_walks(g, p=0.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(g, q=-1.0)
