@@ -77,6 +77,7 @@ def main(argv=None) -> int:
                    choices=["pr", "cc", "lp", "louvain", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
                             "kcore", "closeness", "hits", "salsa", "katz", "eigen", "bc", "ppr",
+                            "walks", "node2vec",
                             "scc", "bowtie", "anf", "harmonic", "trustrank", "spam-mass", "ktruss",
                             "clean-corpus", "domain-pr", "redact-pii",
                             "boilerplate"])
@@ -141,6 +142,11 @@ def main(argv=None) -> int:
                    help="anf: exact all-pairs MSBFS instead of HyperBall")
     p.add_argument("--levels", type=int, default=3,
                    help="louvain: max contraction levels")
+    p.add_argument("--walk-length", type=int, default=8)
+    p.add_argument("--walk-p", type=float, default=1.0,
+                   help="node2vec return parameter")
+    p.add_argument("--walk-q", type=float, default=1.0,
+                   help="node2vec in-out parameter")
     p.add_argument("--min-docs", type=int, default=10,
                    help="boilerplate: distinct-doc support threshold")
     args = p.parse_args(argv)
@@ -330,6 +336,13 @@ def main(argv=None) -> int:
     elif args.algorithm == "eigen":
         out = A.eigenvector_centrality(
             g, fixed_iters=args.niter or 10, runner=runner)
+    elif args.algorithm == "walks":
+        out = A.random_walks(
+            g, n_roots=min(g.n, args.n_sources), walk_length=args.walk_length)
+    elif args.algorithm == "node2vec":
+        out = A.node2vec_walks(
+            g, n_roots=min(g.n, args.n_sources),
+            walk_length=args.walk_length, p=args.walk_p, q=args.walk_q)
     elif args.algorithm == "bc":
         out = A.betweenness_centrality(
             g, n_sources=min(g.n, args.n_sources),

@@ -211,3 +211,15 @@ def test_cli_louvain_smoke(spark, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows_out"] > 0
+
+
+def test_cli_walks_and_node2vec_smoke(spark, capsys):
+    for argv in (
+        ["walks", "--fixture", "chesapeake", "--walk-length", "3", "--n-sources", "4"],
+        ["node2vec", "--fixture", "chesapeake", "--walk-length", "3",
+         "--n-sources", "4", "--walk-p", "2.0", "--walk-q", "0.5"],
+    ):
+        rc = main(argv)
+        assert rc == 0, argv
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows_out"] > 0, argv
