@@ -890,6 +890,35 @@ def q_g_node2vec(spark, sf_dir):
     ).select("walk_id", "step", "id")
 
 
+def q_g_mst(spark, sf_dir):
+    """Borůvka minimum spanning forest (algorithms/mst.py) run to FULL
+    convergence on a graph whose MSF is known in closed form: a
+    weight-1 chain over the sorted part ids plus the copurchase edges
+    at weight 5 — every w=5 edge closes a cycle, so the unique MSF is
+    exactly the chain. The engine must genuinely run the multi-round
+    min-edge-selection + CC-union loop (a chain contracts in O(log V)
+    rounds); general weighted correctness vs a python Kruskal replay
+    is pytest-pinned (tests/test_mst.py)."""
+    from pyspark.sql.window import Window
+
+    from graphblast_spark.algorithms import minimum_spanning_forest
+    from graphblast_spark.sources.tpch_graphs import copurchase_graph
+
+    cg = copurchase_graph(spark, sf_dir)
+    ids = cg.vertices.select("id")
+    chain = (
+        ids.withColumn("nxt", F.lead("id").over(Window.orderBy("id")))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("id").alias("src"), F.col("nxt").alias("dst"),
+                F.lit(1.0).alias("val"))
+    )
+    extra = cg.edges.select("src", "dst", F.lit(5.0).alias("val"))
+    g = Graph.build(chain.unionByName(extra), vertices=ids)
+    out = minimum_spanning_forest(g)
+    g.unpersist()
+    return out.select("a", "b", "w")
+
+
 def q_g_nbr_sample(spark, sf_dir):
     from graphblast_spark.algorithms.walks import neighborhood_sample
 
@@ -1372,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_eigenvector": q_g_eigenvector,
         "g_louvain": q_g_louvain,
         "g_node2vec": q_g_node2vec,
+        "g_mst": q_g_mst,
         "g_betweenness": q_g_betweenness,
         "g_ppr": q_g_ppr,
         "g_spam_mass": q_g_spam_mass,
@@ -2782,6 +2812,12 @@ def oracle_sql() -> dict[str, str]:
         "g_eigenvector": _sql_eigenvector(4),
         "g_louvain": _sql_louvain(2),
         "g_node2vec": _sql_node2vec(4),
+        # MSF of chain(w=1) ∪ copurchase(w=5) = the chain, by the
+        # cycle property: ground truth in closed form (q_g_mst docstring)
+        "g_mst": """
+            WITH v AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+            pairs AS (SELECT id AS a, lead(id) OVER (ORDER BY id) AS b FROM v)
+            SELECT a, b, CAST(1.0 AS DOUBLE) AS w FROM pairs WHERE b IS NOT NULL""",
         "g_coreness": _sql_coreness(3),
         "g_trussness": _sql_trussness(2),
         "g_transitivity": f"""

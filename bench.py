@@ -219,7 +219,12 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
     import shutil
 
     from graphblast_spark.matrix import Graph
-    from graphblast_spark.algorithms import connected_components, pagerank
+    from graphblast_spark.algorithms import (
+        connected_components,
+        label_propagation_majority,
+        pagerank,
+        triangle_count,
+    )
     from graphblast_spark.algorithms.pagerank import pagerank_prep
     from graphblast_spark.runtime.superstep import SuperstepRunner
     from graphblast_spark.sources.rmat import rmat_edges, rmat_vertices
@@ -273,6 +278,24 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
                 iters = sum(1 for _ in fh)
             results[cores] = {"sec": round(t, 3), "iters": iters,
                               "etps": nvals * iters / t}
+        elif algo == "lp":
+            # fixed 5 majority supersteps — identical task graph both
+            # sizes; the vote shape is the third superstep pattern
+            # (groupBy(dst,label)+argmax) after PR's join+agg and CC's
+            # hook/jump, and it shuffles 2|E| rows per round
+            lp_iters = 5
+            label_propagation_majority(g, iters=lp_iters).count()
+            _, t = _timed(
+                lambda: label_propagation_majority(g, iters=lp_iters).count())
+            results[cores] = {"sec": round(t, 3), "iters": lp_iters,
+                              "etps": nvals * lp_iters / t}
+        elif algo == "tc":
+            # one-shot (non-iterative): degree-oriented adjacency +
+            # array_intersect — the compute-bound end of the quartet
+            triangle_count(g)
+            _, t = _timed(lambda: triangle_count(g))
+            results[cores] = {"sec": round(t, 3), "iters": 1,
+                              "etps": nvals / t}
         else:
             w_edges = pagerank_prep(g)
             # warmup: JIT, cache population, and the one-time post-build
@@ -307,7 +330,8 @@ def run_scaling(sf_dir: str, n: int, n4: int, pr_iters: int = 10,
         f"local[{n4}]": results[n4],
         "scaling_efficiency": round(eff, 3),
     }
-    names = {"pr": "PageRank", "cc": "Connected-components"}
+    names = {"pr": "PageRank", "cc": "Connected-components",
+             "lp": "Label-propagation (majority)", "tc": "Triangle-count"}
     with open("BENCH.md", "a") as fh:
         fh.write(
             f"\n## {names[algo]} scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"

@@ -37,6 +37,7 @@ from graphblast_spark.algorithms.gc import (
 from graphblast_spark.algorithms.hits import hits
 from graphblast_spark.algorithms.katz import eigenvector_centrality, katz_centrality
 from graphblast_spark.algorithms.louvain import louvain
+from graphblast_spark.algorithms.mst import minimum_spanning_forest
 from graphblast_spark.algorithms.salsa import salsa
 from graphblast_spark.algorithms.kcore import core_decomposition, k_core
 from graphblast_spark.algorithms.ktruss import edge_triangle_support, k_truss, truss_decomposition
@@ -93,6 +94,7 @@ __all__ = [
     "hits",
     "salsa",
     "louvain",
+    "minimum_spanning_forest",
     "eigenvector_centrality",
     "katz_centrality",
     "core_decomposition",
