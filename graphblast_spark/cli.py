@@ -77,7 +77,7 @@ def main(argv=None) -> int:
                    choices=["pr", "cc", "lp", "louvain", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
                             "kcore", "closeness", "hits", "salsa", "katz", "eigen", "bc", "ppr",
-                            "walks", "node2vec",
+                            "walks", "node2vec", "mst",
                             "scc", "bowtie", "anf", "harmonic", "trustrank", "spam-mass", "ktruss",
                             "clean-corpus", "domain-pr", "redact-pii",
                             "boilerplate"])
@@ -343,6 +343,8 @@ def main(argv=None) -> int:
         out = A.node2vec_walks(
             g, n_roots=min(g.n, args.n_sources),
             walk_length=args.walk_length, p=args.walk_p, q=args.walk_q)
+    elif args.algorithm == "mst":
+        out = A.minimum_spanning_forest(g, runner=runner)
     elif args.algorithm == "bc":
         out = A.betweenness_centrality(
             g, n_sources=min(g.n, args.n_sources),

@@ -223,3 +223,10 @@ def test_cli_walks_and_node2vec_smoke(spark, capsys):
         assert rc == 0, argv
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["rows_out"] > 0, argv
+
+
+def test_cli_mst_smoke(spark, capsys):
+    rc = main(["mst", "--fixture", "chesapeake"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_out"] > 0

@@ -95,3 +95,32 @@ def test_mst_chain_cycle_property(spark):
     extras = [(0, 5, 5.0), (2, 7, 5.0), (3, 8, 5.0), (1, 6, 5.0)]
     got = _run(spark, n, chain + extras)
     assert got == [(i, i + 1, 1.0) for i in range(n - 1)]
+
+
+def test_mst_resume_preserves_forest(spark, tmp_path):
+    """A resumed run must keep the edges selected before the crash —
+    the forest is checkpointed state, not rebuilt from scratch."""
+    from graphblast_spark.runtime.superstep import SuperstepRunner
+
+    edges = [
+        (0, 1, 4.0), (0, 2, 1.0), (1, 2, 3.0), (1, 3, 2.0),
+        (2, 3, 5.0), (3, 4, 1.5), (4, 5, 6.0), (2, 5, 2.5),
+        (5, 6, 0.5), (6, 0, 9.0), (1, 6, 7.0), (6, 7, 8.0),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, val double")
+    g = Graph.build(e, vertices=spark.range(8).selectExpr("id"),
+                    drop_self_loops=False, dedup=False)
+    full = sorted((r.a, r.b, r.w) for r in minimum_spanning_forest(g).collect())
+
+    run_dir = str(tmp_path / "mst")
+    r1 = SuperstepRunner(spark, run_dir=run_dir, checkpoint_every=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        minimum_spanning_forest(g, runner=r1, max_rounds=1)  # die after rd 0
+
+    r2 = SuperstepRunner(spark, run_dir=run_dir, checkpoint_every=1)
+    resumed = sorted(
+        (r.a, r.b, r.w)
+        for r in minimum_spanning_forest(g, runner=r2).collect()
+    )
+    assert resumed == full == _kruskal(8, edges)
+    g.unpersist()
