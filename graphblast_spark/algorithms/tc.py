@@ -68,8 +68,21 @@ def triangle_count(g: Graph, orient: str = "degree", method: str = "arrays") -> 
 
     oriented = oriented.persist()
     if method == "arrays":
-        adj = oriented.groupBy("u").agg(
-            F.sort_array(F.collect_list("v")).alias("nbrs")
+        # Downcast neighbor ids to int32 when the vertex universe
+        # allows: every edge row carries its endpoints' neighbor
+        # arrays through the v-side shuffle, so element width is the
+        # single biggest byte knob of the whole query (measured 17%
+        # off the RMAT-21 join stage — BENCH.md round 4; the stage is
+        # DRAM-bound, so saved bytes are saved wall). One cheap max
+        # aggregate over the persisted oriented table decides.
+        max_id = oriented.agg(F.max(F.greatest("u", "v"))).first()[0]
+        nbr_col = (
+            F.col("v").cast("int")
+            if max_id is not None and max_id < (1 << 31) - 1
+            else F.col("v")
+        )
+        adj = oriented.select("u", nbr_col.alias("vv")).groupBy("u").agg(
+            F.sort_array(F.collect_list("vv")).alias("nbrs")
         ).persist()
         au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
         av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
