@@ -200,6 +200,20 @@ def q_g_tc(spark, sf_dir):
     return spark.createDataFrame([(int(n_tri),)], "n_triangles long")
 
 
+def q_g_tc_approx(spark, sf_dir):
+    """DOULION approximate triangle count (algorithms/tc.py
+    triangle_count_approx, Tsourakakis 2009) at k=3 — deterministic
+    hash edge-sampling makes the estimate a pure function of the
+    input, so the oracle replays it exactly: sample, count the
+    sample's triangles, scale by k³. The scale path for the quartet's
+    DRAM-bound exact join (BENCH.md 2026-08-19)."""
+    from graphblast_spark.algorithms import triangle_count_approx
+
+    g = copurchase_graph(spark, sf_dir)
+    est = triangle_count_approx(g, k=3)
+    return spark.createDataFrame([(int(est),)], "tri_estimate long")
+
+
 def q_g_common_neighbors(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     return common_neighbors_per_edge(g).select("src", "dst", F.col("common").cast("long").alias("common"))
@@ -1344,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_tril": q_g_tril,
         "g_transpose": q_g_transpose,
         "g_tc": q_g_tc,
+        "g_tc_approx": q_g_tc_approx,
         "g_common_neighbors": q_g_common_neighbors,
         "g_trace": q_g_trace,
         "g_pagerank": q_g_pagerank,
@@ -2428,6 +2443,13 @@ def oracle_sql() -> dict[str, str]:
             WITH {_EDGES},
             low AS (SELECT src, dst FROM edges WHERE src < dst)
             SELECT count(*) AS n_triangles
+            FROM low e1 JOIN low e2 ON e1.dst = e2.src
+                 JOIN low e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+        "g_tc_approx": f"""
+            WITH {_EDGES},
+            low AS (SELECT src, dst FROM edges WHERE src < dst
+                    AND ((src * 31 + dst * 10007) % 999983) % 3 = 0)
+            SELECT count(*) * 27 AS tri_estimate
             FROM low e1 JOIN low e2 ON e1.dst = e2.src
                  JOIN low e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
         "g_common_neighbors": f"""

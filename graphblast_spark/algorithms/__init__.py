@@ -24,7 +24,7 @@ from graphblast_spark.algorithms.lp import (
     label_propagation_min,
     modularity,
 )
-from graphblast_spark.algorithms.tc import triangle_count
+from graphblast_spark.algorithms.tc import triangle_count, triangle_count_approx
 from graphblast_spark.algorithms.bfs import bfs
 from graphblast_spark.algorithms.sssp import sssp
 from graphblast_spark.algorithms.mis import mis
@@ -84,6 +84,7 @@ __all__ = [
     "label_propagation_min",
     "modularity",
     "triangle_count",
+    "triangle_count_approx",
     "bfs",
     "sssp",
     "mis",

@@ -105,6 +105,48 @@ def triangle_count(g: Graph, orient: str = "degree", method: str = "arrays") -> 
     return int(n_tri)
 
 
+def triangle_count_approx(
+    g: Graph, k: int = 4, orient: str = "degree", method: str = "arrays"
+) -> int:
+    """DOULION approximate triangle count (Tsourakakis et al., KDD
+    2009): keep each undirected edge with probability 1/k, count
+    triangles of the sparsified graph exactly, scale by k³. Expected
+    value is the true count; relative error concentrates as
+    O(k^1.5/√T). This is the 100-TB scale path for triangle counting
+    — the exact join shuffles O(|E|·√|E|) array bytes (the measured
+    DRAM-bound stage, BENCH.md 2026-08-19), the sparsified run
+    shuffles 1/k of the rows and 1/k of the array mass per row, so
+    the dominant stage shrinks ~k² while the estimate stays unbiased.
+
+    Sampling is a pure hash of the canonical edge — the engine's
+    determinism contract (walks.py posture): identical estimate on
+    any cluster size, any partitioning, and in the SQL oracle:
+    keep (a,b) iff (a·31 + b·10007) mod 999983 mod k == 0.
+    """
+    if k < 1:
+        raise ValueError(f"sampling factor k must be >= 1; got {k!r}")
+    if k == 1:
+        return triangle_count(g, orient=orient, method=method)
+    e = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    kept = und.filter(
+        F.pmod(
+            F.pmod(F.col("a") * F.lit(31) + F.col("b") * F.lit(10_007),
+                   F.lit(999_983)),
+            F.lit(k),
+        ) == 0
+    ).withColumn("val", F.lit(1.0))
+    sub = Graph.build(
+        kept.select(F.col("a").alias("src"), F.col("b").alias("dst"), "val"),
+        drop_self_loops=False, dedup=False,
+    )
+    t = triangle_count(sub, orient=orient, method=method)
+    sub.unpersist()
+    return int(t) * k ** 3
+
+
 def common_neighbors_per_edge(g: Graph):
     """B⟨A⟩ = A ⊕.⊗ Aᵀ restricted to edges — per-edge common-neighbor
     count (the masked SpGEMM output before the final reduce,

@@ -138,3 +138,23 @@ def test_sssp_vs_dijkstra(spark):
         else:
             assert i not in got
     g.unpersist()
+
+
+def test_triangle_count_approx_unbiased_shape(spark):
+    """DOULION estimate: k=1 is exact; k>1 is deterministic, scales by
+    k**3, and lands within a loose band of the exact count on a
+    triangle-dense fixture; k<1 rejected."""
+    import pytest as _pytest
+
+    from graphblast_spark.algorithms import triangle_count, triangle_count_approx
+
+    g = fixture_graph(spark, "chesapeake")
+    exact = triangle_count(g)
+    assert triangle_count_approx(g, k=1) == exact
+    est = triangle_count_approx(g, k=2)
+    assert est == triangle_count_approx(g, k=2)  # deterministic
+    assert est % 8 == 0  # integer sample count × k³
+    assert 0 <= est <= 8 * exact  # sample can hold at most all triangles
+    with _pytest.raises(ValueError):
+        triangle_count_approx(g, k=0)
+    g.unpersist()
