@@ -147,6 +147,15 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     _, t, reps = _timed_warm(lambda: hyperball(g2, max_t=8).count())
     record("hyperball_t8", t, reps)
 
+    # Round-4 additions on the same directed fixture: the modularity
+    # optimizer (contract form) and the undamped centrality limit.
+    from graphblast_spark.algorithms import eigenvector_centrality, louvain
+
+    _, t, reps = _timed_warm(lambda: louvain(g2, levels=1, move_rounds=2).count())
+    record("louvain_l1r2", t, reps)
+    _, t, reps = _timed_warm(lambda: eigenvector_centrality(g2, fixed_iters=4).count())
+    record("eigenvector_4it", t, reps)
+
     # Training-data ops.
     for name in ["d_minhash_lsh", "d_exact_dedup", "d_simhash",
                  "d_simhash_hamming", "e_knn_cosine",
@@ -171,7 +180,8 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     # (ordseq build, SCC, HyperBall, pii, boilerplate, simhash-
     # hamming); this subtotal is the sum over exactly the r1/r2 set.
     _new_slots = {"ordseq_build", "scc", "hyperball_t8", "d_pii_redact",
-                  "d_boilerplate", "d_simhash_hamming"}
+                  "d_boilerplate", "d_simhash_hamming",
+                  "louvain_l1r2", "eigenvector_4it"}
     total_r2_slots = round(
         sum(v for k, v in timings.items() if k not in _new_slots), 3
     )
