@@ -214,6 +214,20 @@ def q_g_tc_approx(spark, sf_dir):
     return spark.createDataFrame([(int(est),)], "tri_estimate long")
 
 
+def q_g_matching(spark, sf_dir):
+    """Maximal matching (algorithms/matching.py — the LAGraph
+    MaximalMatching analog) at the contract form: TWO deterministic
+    mutual-min rounds on the copurchase graph (hash edge priorities,
+    a vertex matches iff both endpoints pick the same min edge).
+    Full convergence (validity + maximality) is pytest-pinned
+    (tests/test_matching.py); the oracle replays both rounds with
+    per-vertex row_number argmins and NOT-IN removals."""
+    from graphblast_spark.algorithms import maximal_matching
+
+    g = copurchase_graph(spark, sf_dir)
+    return maximal_matching(g, fixed_rounds=2).select("a", "b")
+
+
 def q_g_common_neighbors(spark, sf_dir):
     g = copurchase_graph(spark, sf_dir)
     return common_neighbors_per_edge(g).select("src", "dst", F.col("common").cast("long").alias("common"))
@@ -1359,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_transpose": q_g_transpose,
         "g_tc": q_g_tc,
         "g_tc_approx": q_g_tc_approx,
+        "g_matching": q_g_matching,
         "g_common_neighbors": q_g_common_neighbors,
         "g_trace": q_g_trace,
         "g_pagerank": q_g_pagerank,
@@ -2044,6 +2059,42 @@ def _sql_louvain(rounds: int = 2) -> str:
         f"WITH oe AS MATERIALIZED ({SQL_ORDSEQ_EDGES}),\n" + ",\n".join(parts) +
         f"\nSELECT id, comm AS community FROM c{rounds}"
     )
+
+
+def _sql_matching(rounds: int = 2) -> str:
+    """Mutual-min matching replay (algorithms/matching.py): per round,
+    per-vertex argmin over incident live edges by (h, a, b) via
+    row_number, mutual-agreement join, NOT-IN removal of matched
+    endpoints. Exact integer arithmetic throughout."""
+    parts = ["l0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges WHERE src < dst)"]
+    for t in range(rounds):
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT a, b, "
+            f"(a * 31 + b * 10007) % 999983 AS h FROM l{t})"
+        )
+        parts.append(
+            f"ch{t} AS MATERIALIZED (SELECT v, h, a, b FROM ("
+            f"SELECT v, h, a, b, row_number() OVER (PARTITION BY v "
+            f"ORDER BY h, a, b) AS rn FROM ("
+            f"SELECT a AS v, h, a, b FROM p{t} "
+            f"UNION ALL SELECT b, h, a, b FROM p{t})) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT p.a, p.b FROM p{t} p "
+            f"JOIN ch{t} x ON x.v = p.a AND x.h = p.h AND x.a = p.a AND x.b = p.b "
+            f"JOIN ch{t} y ON y.v = p.b AND y.h = p.h AND y.a = p.a AND y.b = p.b)"
+        )
+        parts.append(
+            f"mv{t} AS MATERIALIZED (SELECT a AS v FROM m{t} "
+            f"UNION ALL SELECT b FROM m{t})"
+        )
+        parts.append(
+            f"l{t + 1} AS MATERIALIZED (SELECT a, b FROM l{t} "
+            f"WHERE a NOT IN (SELECT v FROM mv{t}) "
+            f"AND b NOT IN (SELECT v FROM mv{t}))"
+        )
+    sel = "\nUNION ALL ".join(f"SELECT a, b FROM m{t}" for t in range(rounds))
+    return f"WITH {_EDGES},\n" + ",\n".join(parts) + "\n" + sel
 
 
 def _sql_node2vec(
@@ -2834,6 +2885,7 @@ def oracle_sql() -> dict[str, str]:
         "g_eigenvector": _sql_eigenvector(4),
         "g_louvain": _sql_louvain(2),
         "g_node2vec": _sql_node2vec(4),
+        "g_matching": _sql_matching(2),
         # MSF of chain(w=1) ∪ copurchase(w=5) = the chain, by the
         # cycle property: ground truth in closed form (q_g_mst docstring)
         "g_mst": """

@@ -37,6 +37,7 @@ from graphblast_spark.algorithms.gc import (
 from graphblast_spark.algorithms.hits import hits
 from graphblast_spark.algorithms.katz import eigenvector_centrality, katz_centrality
 from graphblast_spark.algorithms.louvain import louvain
+from graphblast_spark.algorithms.matching import maximal_matching
 from graphblast_spark.algorithms.mst import minimum_spanning_forest
 from graphblast_spark.algorithms.salsa import salsa
 from graphblast_spark.algorithms.kcore import core_decomposition, k_core
@@ -96,6 +97,7 @@ __all__ = [
     "salsa",
     "louvain",
     "minimum_spanning_forest",
+    "maximal_matching",
     "eigenvector_centrality",
     "katz_centrality",
     "core_decomposition",

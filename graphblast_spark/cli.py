@@ -77,7 +77,7 @@ def main(argv=None) -> int:
                    choices=["pr", "cc", "lp", "louvain", "tc", "bfs", "sssp", "mis",
                             "gc", "gc-jp", "gc-spec", "lgc", "diameter",
                             "kcore", "closeness", "hits", "salsa", "katz", "eigen", "bc", "ppr",
-                            "walks", "node2vec", "mst",
+                            "walks", "node2vec", "mst", "matching",
                             "scc", "bowtie", "anf", "harmonic", "trustrank", "spam-mass", "ktruss",
                             "clean-corpus", "domain-pr", "redact-pii",
                             "boilerplate"])
@@ -345,6 +345,8 @@ def main(argv=None) -> int:
             walk_length=args.walk_length, p=args.walk_p, q=args.walk_q)
     elif args.algorithm == "mst":
         out = A.minimum_spanning_forest(g, runner=runner)
+    elif args.algorithm == "matching":
+        out = A.maximal_matching(g, runner=runner)
     elif args.algorithm == "bc":
         out = A.betweenness_centrality(
             g, n_sources=min(g.n, args.n_sources),

@@ -230,3 +230,10 @@ def test_cli_mst_smoke(spark, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows_out"] > 0
+
+
+def test_cli_matching_smoke(spark, capsys):
+    rc = main(["matching", "--fixture", "chesapeake"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_out"] > 0
