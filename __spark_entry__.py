@@ -941,7 +941,13 @@ def q_g_mst(spark, sf_dir):
                 F.lit(1.0).alias("val"))
     )
     extra = cg.edges.select("src", "dst", F.lit(5.0).alias("val"))
-    g = Graph.build(chain.unionByName(extra), vertices=ids)
+    # dedup=False: 111 (src,dst) pairs exist in BOTH the w=1 chain and
+    # the w=5 extras at sf0.01; Graph.build's dropDuplicates keeps an
+    # arbitrary one, while the algorithm's _canonical_weighted
+    # min-collapses parallel edges deterministically (w=1 wins, the
+    # oracle's assumption) — so conflicts must reach the algorithm.
+    g = Graph.build(chain.unionByName(extra), vertices=ids,
+                    dedup=False, drop_self_loops=False)
     out = minimum_spanning_forest(g)
     g.unpersist()
     return out.select("a", "b", "w")

@@ -144,21 +144,22 @@ def eigenvector_centrality(
             contribs = edges.join(v, on=edges["src"] == v["id"], how="inner").select(
                 F.col("dst").alias("id"), F.col("val").alias("c")
             )
+            # truncate the un-normalized vector BEFORE the norm: both
+            # the 1-row norm aggregate and the normalization read y, and
+            # without materialization each would re-execute the |E|-row
+            # join+agg (ReuseExchange is best-effort under AQE)
             y = (
                 contribs.unionByName(verts.select("id", F.lit(0.0).alias("c")))
                 .groupBy("id")
                 .agg(F.sum("c").alias("val"))
+                .transform(truncate_plan)
             )
             nrm = y.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
-            x = (
-                y.crossJoin(F.broadcast(nrm))
-                .select(
-                    "id",
-                    F.when(F.col("nrm") > 0.0, F.col("val") / F.col("nrm"))
-                    .otherwise(F.lit(0.0))
-                    .alias("val"),
-                )
-                .transform(truncate_plan)
+            x = y.crossJoin(F.broadcast(nrm)).select(
+                "id",
+                F.when(F.col("nrm") > 0.0, F.col("val") / F.col("nrm"))
+                .otherwise(F.lit(0.0))
+                .alias("val"),
             )
             state = runner.commit(
                 it, {"x": x}, metrics={"ms": (time.time() - t0) * 1000.0}

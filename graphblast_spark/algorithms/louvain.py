@@ -223,12 +223,16 @@ def louvain(
                 und.unpersist(); sym.unpersist(); deg.unpersist()
                 break
 
-            state, start_iter, _ = lrun.resume_or_init(
+            state, start_iter, scalars = lrun.resume_or_init(
                 lambda: {"comm": deg.select("id", F.col("id").alias("comm"))}
             )
             comm = state["comm"]
             zero_streak = 0
-            level_moved = 0
+            # level_moved is checkpointed (cumulative) so a resumed run
+            # takes the same contraction decision as an uninterrupted
+            # one — an in-memory counter reset to 0 by resume would
+            # silently skip level lvl+1 and return a coarser partition
+            level_moved = int(scalars.get("level_moved", 0))
             for it in range(start_iter, move_rounds):
                 t0 = time.time()
                 nxt = _move_round(sym, deg, comm, m2, it % 2).transform(
@@ -240,7 +244,7 @@ def louvain(
                 level_moved += movers
                 state = lrun.commit(
                     it, {"comm": nxt},
-                    scalars={"movers": movers},
+                    scalars={"movers": movers, "level_moved": level_moved},
                     metrics={"ms": (time.time() - t0) * 1000.0},
                 )
                 comm = state["comm"]
@@ -249,9 +253,15 @@ def louvain(
                     break
 
             cm = comm.select(F.col("id").alias("v"), F.col("comm").alias("cv"))
+            # LEFT join + coalesce: isolated vertices (in g.vertices
+            # but no edges, hence absent from deg/comm) keep their own
+            # singleton community instead of dropping out of the output
             mapping = (
-                mapping.join(cm, mapping["community"] == cm["v"])
-                .select("id", F.col("cv").alias("community"))
+                mapping.join(cm, mapping["community"] == cm["v"], "left")
+                .select(
+                    "id",
+                    F.coalesce("cv", F.col("community")).alias("community"),
+                )
                 .transform(truncate_plan)
             )
             # Contract only when another level will consume it: at the

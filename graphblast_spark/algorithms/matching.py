@@ -40,6 +40,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphblast_spark.algorithms.walks import _A_ID, _A_STEP, _MOD
 from graphblast_spark.matrix import Graph
 from graphblast_spark.runtime.superstep import (
     SuperstepRunner,
@@ -50,9 +51,12 @@ from graphblast_spark.runtime.superstep import (
 
 
 def _edge_struct():
+    # canonical-edge hash: shared constants with walks.py (_A_ID=31,
+    # _A_STEP=10007, _MOD=999983) — one source of truth for the SQL
+    # oracles that replay the same formula
     return F.struct(
-        F.pmod(F.col("a") * F.lit(31) + F.col("b") * F.lit(10_007),
-               F.lit(999_983)).alias("h"),
+        F.pmod(F.col("a") * F.lit(_A_ID) + F.col("b") * F.lit(_A_STEP),
+               F.lit(_MOD)).alias("h"),
         F.col("a").alias("ea"),
         F.col("b").alias("eb"),
     )
@@ -95,7 +99,8 @@ def maximal_matching(
     live, matched = state["live"], state["matched"]
     n_rounds = fixed_rounds if fixed_rounds is not None else max_rounds
 
-    with stable_partitions(spark, width):
+    try:
+      with stable_partitions(spark, width):
         for rnd in range(start_iter, n_rounds):
             t0 = time.time()
             n_live = live.count()
@@ -146,5 +151,6 @@ def maximal_matching(
                     f"maximal_matching did not converge within "
                     f"max_rounds={max_rounds}"
                 )
-    und0.unpersist()
+    finally:
+        und0.unpersist()
     return matched

@@ -96,7 +96,8 @@ def minimum_spanning_forest(
     state, start_iter, _ = runner.resume_or_init(init)
     comp, forest = state["comp"], state["forest"]
 
-    with stable_partitions(spark, width):
+    try:
+      with stable_partitions(spark, width):
         for rnd in range(start_iter, max_rounds):
             t0 = time.time()
             la = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
@@ -115,23 +116,29 @@ def minimum_spanning_forest(
                     scalars={"cross": 0},
                 )
                 break
-            # each side's component nominates the edge; min by (w,a,b)
+            # each side's component nominates the edge; min by (w,a,b).
+            # ca/cb ride as trailing struct fields (the (w,a,b) prefix
+            # alone decides the min, so the tie-break is unchanged) so
+            # pair_edges below is a pure projection instead of two
+            # more label joins per round.
             sel = (
-                cross.select(F.col("ca").alias("c"), "w", "a", "b")
-                .unionByName(cross.select(F.col("cb").alias("c"), "w", "a", "b"))
+                cross.select(F.col("ca").alias("c"), "w", "a", "b", "ca", "cb")
+                .unionByName(
+                    cross.select(F.col("cb").alias("c"), "w", "a", "b", "ca", "cb")
+                )
                 .groupBy("c")
-                .agg(F.min(F.struct("w", "a", "b")).alias("e"))
+                .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("e"))
                 .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"),
-                        F.col("e.w").alias("w"))
+                        F.col("e.w").alias("w"),
+                        F.col("e.ca").alias("ca"), F.col("e.cb").alias("cb"))
                 .distinct()
                 .transform(truncate_plan)
             )
-            forest = forest.unionByName(sel)
+            forest = forest.unionByName(sel.select("a", "b", "w"))
             # union step: CC over the selected component-pair graph
-            pair_edges = (
-                sel.join(la, "a").join(lb, "b")
-                .select(F.col("ca").alias("src"), F.col("cb").alias("dst"),
-                        F.lit(1.0).alias("val"))
+            pair_edges = sel.select(
+                F.col("ca").alias("src"), F.col("cb").alias("dst"),
+                F.lit(1.0).alias("val"),
             )
             cg = Graph.build(pair_edges, symmetrize=True)
             merged = connected_components(cg)  # (id=old comp, component=new)
@@ -157,5 +164,6 @@ def minimum_spanning_forest(
                 f"minimum_spanning_forest did not converge within "
                 f"max_rounds={max_rounds}"
             )
-    und.unpersist()
+    finally:
+        und.unpersist()
     return forest.distinct()

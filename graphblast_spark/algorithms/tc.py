@@ -131,10 +131,12 @@ def triangle_count_approx(
     und = e.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
+    from graphblast_spark.algorithms.walks import _A_ID, _A_STEP, _MOD
+
     kept = und.filter(
         F.pmod(
-            F.pmod(F.col("a") * F.lit(31) + F.col("b") * F.lit(10_007),
-                   F.lit(999_983)),
+            F.pmod(F.col("a") * F.lit(_A_ID) + F.col("b") * F.lit(_A_STEP),
+                   F.lit(_MOD)),
             F.lit(k),
         ) == 0
     ).withColumn("val", F.lit(1.0))

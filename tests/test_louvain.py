@@ -88,3 +88,15 @@ def test_louvain_improves_modularity_over_singletons(spark):
     )
     assert q1 > q0
     g.unpersist()
+
+
+def test_louvain_keeps_isolated_vertices_as_singletons(spark):
+    # vertex 6 is in the universe but has no edges: it must appear in
+    # the output as its own community, like every other labeling algo
+    edges = _clique_edges(range(3)) + _clique_edges(range(3, 6))
+    g = _graph(spark, edges, 7)
+    got = {r.id: r.community for r in louvain(g, levels=2).collect()}
+    assert len(got) == 7
+    assert got[6] == 6
+    assert sum(1 for v in got.values() if v == 6) == 1
+    g.unpersist()
