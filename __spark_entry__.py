@@ -358,8 +358,12 @@ def q_g_modularity(spark, sf_dir):
 
     g = copurchase_graph(spark, sf_dir)
     labels = label_propagation_majority(g, iters=2)
+    # `+ 0.0` on both sides neutralizes IEEE -0.0 (DuckDB's round() emits
+    # it for tiny negative contributions; the driver's string canon sees
+    # "-0.0" != "0.0" even though the multisets compare equal)
     return community_modularity(g, labels).select(
-        "label", "within_weight", "out_strength", "in_strength", "contribution"
+        "label", "within_weight", "out_strength", "in_strength",
+        (F.col("contribution") + F.lit(0.0)).alias("contribution"),
     )
 
 
@@ -657,7 +661,11 @@ def q_m_resize(spark, sf_dir):
 def q_m_byte_hist(spark, sf_dir):
     from graphblast_spark.functions.multimodal import byte_histogram
 
-    return byte_histogram(_assets(spark, sf_dir))
+    # contract rows carry only scalar columns (driver's pandas canon
+    # cannot hash list cells) — join the histogram into a CSV string
+    return byte_histogram(_assets(spark, sf_dir)).select(
+        "asset_id", F.array_join("hist", ",").alias("hist")
+    )
 
 
 def q_g_msbfs(spark, sf_dir):
@@ -2740,7 +2748,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(i.in_strength, 0.0) AS in_strength,
                    round(coalesce(o.w, 0.0) / m.m
                          - coalesce(o.out_strength, 0.0) * coalesce(i.in_strength, 0.0)
-                           / (m.m * m.m), 6) AS contribution
+                           / (m.m * m.m), 6) + 0.0 AS contribution
             FROM (SELECT DISTINCT label FROM labels) l
             LEFT JOIN outs o USING (label)
             LEFT JOIN ins i USING (label)
@@ -3057,8 +3065,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT asset_id,
-                   list_transform(range(0, 16),
-                                  j -> CAST(len(list_filter(cs, c -> c % 16 = j)) AS BIGINT)) AS hist
+                   array_to_string(list_transform(range(0, 16),
+                                  j -> CAST(len(list_filter(cs, c -> c % 16 = j)) AS BIGINT)), ',') AS hist
             FROM codes""",
         "g_apply_vxm": f"""
             WITH {_EDGES}
@@ -3492,7 +3500,7 @@ def oracle_sql() -> dict[str, str]:
             cnt AS (SELECT h, count(*) AS n FROM occ GROUP BY h),
             pd AS (
               SELECT occ.doc_id AS doc_id, count(*) AS n_spans,
-                     sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_dup,
+                     CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
                      sum(c) AS tc,
                      sum(CASE WHEN n >= 2 THEN c ELSE 0 END) AS dc
               FROM occ JOIN cnt ON occ.h = cnt.h GROUP BY occ.doc_id
@@ -3747,8 +3755,8 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
             ), s AS (
-              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+              SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_id
               FROM o
             )
             SELECT user_id, session_id, count(*) AS n_events,

@@ -119,20 +119,48 @@ def byte_histogram(assets: DataFrame, bins: int = FEATURE_DIM) -> DataFrame:
 
 def extract_features(assets: DataFrame) -> DataFrame:
     """assets → (asset_id, embedding array<float>) — FEATURE_DIM-wide
-    deterministic features from the fake decoder (byte-histogram
-    moments), Arrow-batched."""
+    deterministic features: the L2-normalized byte histogram of the
+    payload (bytes mod FEATURE_DIM).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            feats = []
-            for payload in b["payload"]:
-                raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-                hist = np.bincount(raw % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
-                norm = np.linalg.norm(hist)
-                feats.append((hist / norm if norm > 0 else hist).astype(np.float32))
-            yield pd.DataFrame({"asset_id": b["asset_id"], "embedding": feats})
+    Pure JVM: rides :func:`byte_histogram`'s codegen'd hex-expansion,
+    then one ``F.aggregate`` for the squared norm and one
+    ``F.transform`` for the normalized floats — no Python worker in
+    the plan (plan-asserted in tests/test_plans.py). Every
+    intermediate is exact in float64 (integer counts, exact squares,
+    correctly-rounded sqrt), and the double→float cast matches
+    numpy's ``astype(float32)`` rounding, so the embeddings are
+    bit-identical to the former Arrow-batched kernel — including the
+    null/empty-payload edge, which hashes as the single byte ``0x00``
+    (histogram e₀, embedding ``[1.0, 0, …]``).
 
-    return assets.mapInPandas(run, schema="asset_id long, embedding array<float>")
+    The norm is materialized as a real column BEFORE the transform
+    lambda references it (never embed one ``F.aggregate`` inside
+    another HOF lambda — Catalyst collapses collapsible selects into
+    the lambda body and the fold silently mis-evaluates)."""
+    from pyspark.sql import functions as F
+
+    hist = byte_histogram(assets, bins=FEATURE_DIM)
+    # empty/null payload: legacy kernel treated it as b"\x00" → e0
+    empty = F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x) == 0
+    e0 = F.array(
+        F.lit(1).cast("long"), *[F.lit(0).cast("long")] * (FEATURE_DIM - 1)
+    )
+    hist = hist.withColumn("hist", F.when(empty, e0).otherwise(F.col("hist")))
+    hist = hist.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                "hist", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+            )
+        ),
+    )
+    emb = F.transform(
+        "hist",
+        lambda x: F.when(
+            F.col("norm") > 0, (x.cast("double") / F.col("norm")).cast("float")
+        ).otherwise(x.cast("float")),
+    )
+    return hist.select("asset_id", emb.alias("embedding"))
 
 
 def resize_image(assets: DataFrame, out_w: int = 3, out_h: int = 3) -> DataFrame:

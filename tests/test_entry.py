@@ -1,15 +1,18 @@
 """Replicates the driver's correctness gate locally: every queries()
 entry runs on Spark at sf0.01 and is compared against oracle_sql() via
-DuckDB — row count, schema width, and order-insensitive values."""
+DuckDB using the DRIVER-FAITHFUL canon (graphblast_spark.contract):
+pandas on both sides, full-precision per-dtype strings, dtype-kind
+mismatches (HUGEINT→float64 vs bigint) and non-scalar output columns
+are hard failures. Round 4's four driver FAILs — all invisible to the
+old fetchall()+%.6g canon — are the regression this pins."""
 
 from __future__ import annotations
-
-import math
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
+from graphblast_spark.contract import compare, spark_schema_violations
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = [
@@ -26,25 +29,6 @@ def ddb():
     return con
 
 
-def _normalize(rows, colnames):
-    """Sort columns by name, canonicalize values, sort rows — the
-    order-insensitive comparison the driver performs."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-
-    def canon(v):
-        if isinstance(v, bool):
-            return v
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return round(v, 9)
-        if hasattr(v, "isoformat"):
-            return v.isoformat()
-        return v
-
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
-
-
 ALL = sorted(entrymod.queries().keys())
 
 
@@ -52,24 +36,22 @@ ALL = sorted(entrymod.queries().keys())
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
     sdf = q(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+
+    # scalar-only contract rule: the driver's pandas canonicalizer
+    # crashes on array/map/struct/binary cells (r4 m_byte_hist)
+    bad = spark_schema_violations(sdf)
+    assert not bad, f"{name}: non-scalar output columns {bad}"
+
+    spdf = sdf.toPandas()
 
     sql = entrymod.oracle_sql().get(name)
     if sql is None:
-        assert len(srows) >= 0  # rows-only check (driver's weak mode)
+        assert len(spdf) >= 0  # rows-only check (driver's weak mode)
         return
 
-    res = ddb.sql(sql)
-    ocols = res.columns
-    orows = res.fetchall()
-
-    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
-    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
-    a = _normalize(srows, scols)
-    b = _normalize(orows, ocols)
-    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+    opdf = ddb.execute(sql).df()
+    ok, detail = compare(spdf, opdf)
+    assert ok, f"{name}:{detail}"
 
 
 def test_entry_smoke(spark):
@@ -77,3 +59,12 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["id", "pagerank"]
+
+
+def test_oracle_coverage():
+    """Every contract query has an oracle (or is a documented weak row)."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    assert missing == [], f"queries without oracle_sql: {missing}"
+    extra = sorted(set(oracles) - set(qs))
+    assert extra == [], f"oracles without queries entry: {extra}"

@@ -177,14 +177,21 @@ def test_multimodal_stats_plans_no_python_worker(spark):
     """decode_stats / byte_histogram are closed-form functions of the
     payload bytes → must run as pure JVM Column expressions, with NO
     Python-eval operator of any kind in the plan (VERDICT r3 wrong #2;
-    the real-codec splice points remain resize/frame_sample)."""
-    from graphblast_spark.functions.multimodal import byte_histogram, decode_stats
+    the real-codec splice points remain resize/frame_sample).
+    extract_features joined them in round 5 (L2-normalized histogram as
+    aggregate+transform over byte_histogram — the last per-row Python
+    loop outside the codec splice, now retired)."""
+    from graphblast_spark.functions.multimodal import (
+        byte_histogram,
+        decode_stats,
+        extract_features,
+    )
 
     assets = spark.createDataFrame(
         [(i, "image", bytes([i % 256]) * (32 + i), 8, 8, 0) for i in range(10)],
         "asset_id long, kind string, payload binary, width int, height int, sample_rate int",
     )
-    for df in (decode_stats(assets), byte_histogram(assets)):
+    for df in (decode_stats(assets), byte_histogram(assets), extract_features(assets)):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

@@ -1,17 +1,33 @@
 #!/usr/bin/env python3
-"""Local emulation of the driver's correctness gate.
+"""Local emulation of the driver's correctness gate — driver-canon aligned.
 
 Runs every ``queries()`` entry on Spark AND its ``oracle_sql()`` on
 DuckDB at the given sf dir, compares row-count, sorted-by-name schema,
-and a value hash (values stringified, rows sorted). Prints one line per
-query plus a summary. Usage::
+and a value hash. Canonicalization mirrors the driver's pandas-based
+hasher (the round-4 lesson: the old ``fetchall()`` + ``%.6g`` gate was
+provably looser and let four typing defects ship):
+
+* BOTH sides are fetched as pandas — Spark via Arrow ``toPandas()``,
+  DuckDB via ``.df()`` (so HUGEINT→float64 coercion is visible, exactly
+  as the driver sees it).
+* Values are stringified at FULL precision per dtype: ``repr(float)``
+  (keeps ``-0.0`` distinct from ``0.0`` and ``7.0`` distinct from
+  int ``7``), ``str(int)``, timestamps unit-normalized to ISO strings.
+* A per-column dtype-KIND mismatch (int64 vs float64, datetime unit,
+  bool vs int) is a hard FAIL even when the stringified multisets would
+  happen to collide.
+* Any contract row whose output contains array/map/struct/binary (on
+  the Spark schema OR as list/bytes/ndarray cells in either pandas
+  frame) is a hard FAIL — the driver's canonicalizer crashes on them
+  (r4 ``m_byte_hist``), so they must never reach it.
+
+Usage::
 
     python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
@@ -23,39 +39,11 @@ ONLY = set(sys.argv[2:])
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-
-def norm_cell(v):
-    import math
-
-    if v is None:
-        return ""
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def df_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
-
+from graphblast_spark.contract import compare, spark_schema_violations  # noqa: E402
 
 def main():
     import duckdb
+
     import __spark_entry__ as em
     from graphblast_spark import get_spark
 
@@ -76,39 +64,34 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
+            bad_types = spark_schema_violations(sdf)
+            if bad_types:
+                print(f"FAIL  {name}: non-scalar output columns {bad_types} "
+                      "(driver canon crashes on array/map/struct/binary)")
+                n_fail += 1
+                continue
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"weak  {name}: rows={len(spdf)} (no oracle) [{time.time()-t0:.1f}s]")
             n_weak += 1
             continue
         try:
-            orel = con.execute(oracles[name])
-            ocols = [d[0] for d in orel.description]
-            orows = orel.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        ok_rows = len(srows) == len(orows)
-        ok_schema = sorted(scols) == sorted(ocols)
-        sh = df_hash(scols, [[r[c] for c in scols] for r in srows])
-        oh = df_hash(ocols, orows)
-        ok_hash = sh == oh
-        status = "ok" if (ok_rows and ok_schema and ok_hash) else "FAIL"
-        detail = ""
-        if not ok_rows:
-            detail += f" rows {len(srows)}!={len(orows)}"
-        if not ok_schema:
-            detail += f" schema {sorted(scols)}!={sorted(ocols)}"
-        if ok_rows and ok_schema and not ok_hash:
-            detail += f" hash {sh}!={oh}"
-        print(f"{status:5s} {name}: rows={len(srows)}{detail} [{time.time()-t0:.1f}s]")
-        if status == "ok":
+        try:
+            ok, detail = compare(spdf, opdf)
+        except ValueError as e:
+            ok, detail = False, f" {e}"
+        status = "ok" if ok else "FAIL"
+        print(f"{status:5s} {name}: rows={len(spdf)}{detail} [{time.time()-t0:.1f}s]")
+        if ok:
             n_pass += 1
         else:
             n_fail += 1
