@@ -2513,7 +2513,8 @@ def oracle_sql() -> dict[str, str]:
         "g_tc_approx": f"""
             WITH {_EDGES},
             low AS (SELECT src, dst FROM edges WHERE src < dst
-                    AND ((src * 31 + dst * 10007) % 999983) % 3 = 0)
+                    AND CAST('0x' || substr(md5(src || '_' || dst), 1, 8)
+                             AS BIGINT) % 3 = 0)
             SELECT count(*) * 27 AS tri_estimate
             FROM low e1 JOIN low e2 ON e1.dst = e2.src
                  JOIN low e3 ON e3.src = e1.src AND e3.dst = e2.dst""",

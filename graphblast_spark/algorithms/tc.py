@@ -121,7 +121,15 @@ def triangle_count_approx(
     Sampling is a pure hash of the canonical edge — the engine's
     determinism contract (walks.py posture): identical estimate on
     any cluster size, any partitioning, and in the SQL oracle:
-    keep (a,b) iff (a·31 + b·10007) mod 999983 mod k == 0.
+    keep (a,b) iff the first 8 hex digits of md5("a_b") mod k == 0.
+
+    The hash must NOT be a linear form in (a, b): DOULION's
+    unbiasedness needs the three edges of a triangle sampled
+    (near-)independently, and any h(a,b) = αa + βb has its three
+    triangle forms summing to α(a+b) + β(b+c) + ... — a fixed linear
+    relation, so mod small k the third edge's survival is correlated
+    with the first two (measured: a 31a+10007b hash overestimated
+    RMAT-16 triangles by 1.66× at k=4; md5 measured 3.4% off).
     """
     if k < 1:
         raise ValueError(f"sampling factor k must be >= 1; got {k!r}")
@@ -131,15 +139,24 @@ def triangle_count_approx(
     und = e.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
-    from graphblast_spark.algorithms.walks import _A_ID, _A_STEP, _MOD
-
-    kept = und.filter(
-        F.pmod(
-            F.pmod(F.col("a") * F.lit(_A_ID) + F.col("b") * F.lit(_A_STEP),
-                   F.lit(_MOD)),
-            F.lit(k),
-        ) == 0
-    ).withColumn("val", F.lit(1.0))
+    edge_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("a").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = und.filter(F.pmod(edge_hash, F.lit(k)) == 0).withColumn(
+        "val", F.lit(1.0)
+    )
     sub = Graph.build(
         kept.select(F.col("a").alias("src"), F.col("b").alias("dst"), "val"),
         drop_self_loops=False, dedup=False,
