@@ -45,13 +45,17 @@ def spark_schema_violations(sdf):
 def dtype_kind(s):
     """Collapse a pandas Series dtype to the kind string the gate compares.
 
-    ``int`` vs ``float`` is the HUGEINT tell; ``datetime`` keeps its
-    storage unit so a ns-vs-us drift surfaces as a kind mismatch."""
+    ``int`` vs ``float`` is the HUGEINT tell."""
     import pandas as pd
 
     d = s.dtype
     if pd.api.types.is_datetime64_any_dtype(d):
-        return f"datetime[{getattr(d, 'unit', '?')}]"
+        # storage unit deliberately NOT part of the kind: Spark's
+        # toPandas yields datetime64[ns] while DuckDB .df() yields
+        # datetime64[us] for the SAME microsecond-precision values,
+        # and the driver accepts that pairing (r4 q_events_user_stats
+        # green). Values still compare at full ISO precision below.
+        return "datetime"
     if pd.api.types.is_bool_dtype(d):
         return "bool"
     if pd.api.types.is_integer_dtype(d):
@@ -73,7 +77,7 @@ def canon_column(s):
 
     kind = dtype_kind(s)
     out = []
-    if kind.startswith("datetime"):
+    if kind == "datetime":
         for v in s:
             out.append("∅" if pd.isna(v) else pd.Timestamp(v).isoformat())
         return out, None

@@ -13,9 +13,11 @@ provably looser and let four typing defects ship):
 * Values are stringified at FULL precision per dtype: ``repr(float)``
   (keeps ``-0.0`` distinct from ``0.0`` and ``7.0`` distinct from
   int ``7``), ``str(int)``, timestamps unit-normalized to ISO strings.
-* A per-column dtype-KIND mismatch (int64 vs float64, datetime unit,
-  bool vs int) is a hard FAIL even when the stringified multisets would
-  happen to collide.
+* A per-column dtype-KIND mismatch (int64 vs float64, bool vs int) is
+  a hard FAIL even when the stringified multisets would happen to
+  collide. Datetime STORAGE units are deliberately one kind (Spark ns
+  vs DuckDB us for identical values — the driver accepts the pairing);
+  values still compare at full ISO precision.
 * Any contract row whose output contains array/map/struct/binary (on
   the Spark schema OR as list/bytes/ndarray cells in either pandas
   frame) is a hard FAIL — the driver's canonicalizer crashes on them
